@@ -1,0 +1,73 @@
+"""recursivefactorization_jl_tpu — TPU-native dense LU factorization framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+JuliaLinearAlgebra/RecursiveFactorization.jl (reference: /root/reference,
+v0.2.26): recursive/blocked LU with partial pivoting, pivot-free LU, the
+random-butterfly-transform (RBT) pivot-free solver, batched small-matrix LU,
+and triangular solves — all designed TPU-first:
+
+* the Toledo cache-oblivious recursion (`reference src/lu.jl:181-255`)
+  becomes a **static right-looking blocked schedule** XLA can pipeline;
+* the `@turbo` SIMD panel factorization (`src/lu.jl:282-330`) becomes a
+  **fused Pallas panel kernel** that keeps the tall panel VMEM-resident
+  across all pivot steps;
+* `schur_complement!` (`src/lu.jl:257-276`) becomes an MXU matmul with
+  optional bf16-compute/f32-accumulate;
+* `TriangularSolve.ldiv!` becomes blocked triangular-inverse + MXU matmul;
+* `apply_permutation!` (laswp, `src/lu.jl:156-180`) becomes composed
+  permutations applied as single gathers;
+* the butterfly module (`src/butterflylu.jl`) becomes an implicit two-level
+  radix transform over quadrants.
+
+Public API (mirrors the reference's `lu/lu!` surface, functionally):
+
+    lu(A, pivot=True)            -> LU result object (L, U, p, ipiv, info)
+    lu_factor(A, pivot=True)     -> (factors, ipiv, info) jit-friendly
+    lu_solve(lu_res, b)          -> x
+    ldiv(lu_res, b)              -> x  (alias, reference naming)
+    butterfly_workspace(A, b)    -> BWorkspace (RBT setup)
+    butterfly_solve(ws)          -> x  (pivot-free RBT solve)
+"""
+
+from .models.lu import (
+    LU,
+    lu,
+    lu_factor,
+    lu_inplace,
+    SingularMatrixError,
+)
+from .models.solve import lu_solve, ldiv
+from .models.butterfly import (
+    BWorkspace,
+    butterfly_workspace,
+    butterfly_solve,
+    butterfly_mul,
+    generate_butterfly_values,
+    materialize_uv,
+    pad_to_multiple_of_4,
+)
+from .utils.config import LUConfig, default_config
+from .utils.perm import ipiv_to_perm, perm_to_matrix
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "LU",
+    "lu",
+    "lu_factor",
+    "lu_inplace",
+    "lu_solve",
+    "ldiv",
+    "SingularMatrixError",
+    "BWorkspace",
+    "butterfly_workspace",
+    "butterfly_solve",
+    "butterfly_mul",
+    "generate_butterfly_values",
+    "materialize_uv",
+    "pad_to_multiple_of_4",
+    "LUConfig",
+    "default_config",
+    "ipiv_to_perm",
+    "perm_to_matrix",
+]

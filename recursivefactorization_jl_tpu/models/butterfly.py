@@ -1,0 +1,261 @@
+"""Random Butterfly Transform (RBT) pivot-free LU solver.
+
+TPU-native rebuild of the reference's butterfly module
+(reference src/butterflylu.jl):
+
+* value generation: ``exphalf(x) = exp(x)/2`` over Uniform(-0.05, 0.1),
+  deterministic seed (default 888) — ref src/butterflylu.jl:7-19, here via
+  ``jax.random`` threefry (deterministic across runs/devices; the exact
+  stream differs from VectorizedRNG's Xoshift, which is an implementation
+  detail, not API);
+* the depth-1 butterfly ``A <- diag(u) . (H (x) I) . A . (H (x) I) . diag(v)``
+  radix transform (ref ``🦋mul_level!`` src/butterflylu.jl:59-91) as a
+  vectorized quadrant combine XLA fuses into a few VPU passes — O(n^2)
+  work, negligible next to the O(n^3) LU;
+* the depth-2 apply ``A <- U^T A V`` (ref ``🦋mul!`` src/butterflylu.jl:93-113);
+* dense materialization of ``U = Bu2 @ Bu1``, ``V = Bv2 @ Bv1`` from the
+  4n values (ref ``materializeUV`` + ``🦋!`` + ``diagnegbottom``,
+  src/butterflylu.jl:115-178) — used by the ``U^T b`` / ``V y`` solve
+  steps and for tests; implicit vector applies are also provided;
+* pad-to-multiple-of-4 with identity extension (ref ``pad!``
+  src/butterflylu.jl:180-197);
+* the workspace + solve pipeline (ref ``🦋workspace``/``🦋solve!``
+  src/butterflylu.jl:20-55): A~ = U^T A V, pivot-free LU, x = V (A~)^-1 U^T b.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import LUConfig, default_config
+
+DEFAULT_SEED = 888  # ref src/butterflylu.jl:8 Val(888)
+
+
+def generate_butterfly_values(
+    n: int, seed: int = DEFAULT_SEED, dtype=jnp.float64
+) -> jax.Array:
+    """4n butterfly diagonal values: exp(U(-0.05, 0.1))/2, clustered near
+    0.5 (ref generate_rand_butterfly_vals!, src/butterflylu.jl:8-13)."""
+    key = jax.random.PRNGKey(seed)
+    u = jax.random.uniform(
+        key, (4 * n,), dtype=dtype, minval=-0.05, maxval=0.1
+    )
+    return jnp.exp(u) * jnp.asarray(0.5, dtype=u.dtype)
+
+
+def butterfly_level(A: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Depth-1 butterfly: returns ``B_u^T @ A @ B_v`` where ``B_x`` is the
+    [[diag(xu), diag(xl)], [diag(xu), -diag(xl)]] butterfly built from
+    ``x`` (ref 🦋mul_level!, src/butterflylu.jl:59-91)."""
+    M, N = A.shape
+    mh, nh = M // 2, N // 2
+    A11, A12 = A[:mh, :nh], A[:mh, nh:]
+    A21, A22 = A[mh:, :nh], A[mh:, nh:]
+    T1, T2 = A11 + A12, A21 + A22
+    T3, T4 = A11 - A12, A21 - A22
+    u1, u2 = u[:mh, None], u[mh:, None]
+    v1, v2 = v[None, :nh], v[None, nh:]
+    C11 = u1 * (T1 + T2) * v1
+    C21 = u2 * (T1 - T2) * v1
+    C12 = u1 * (T3 + T4) * v2
+    C22 = u2 * (T3 - T4) * v2
+    return jnp.concatenate(
+        [
+            jnp.concatenate([C11, C12], axis=1),
+            jnp.concatenate([C21, C22], axis=1),
+        ],
+        axis=0,
+    )
+
+
+def butterfly_mul(A: jax.Array, uv: jax.Array) -> jax.Array:
+    """Depth-2 RBT apply: ``A <- U^T A V`` with two-level recursive
+    butterflies (ref 🦋mul!, src/butterflylu.jl:93-113). Requires square A
+    with size divisible by 4."""
+    M, N = A.shape
+    assert M == N and M % 4 == 0, "butterfly_mul needs n % 4 == 0 (pad first)"
+    h = M // 2
+    U1, V1 = uv[:h], uv[h:M]
+    U2, V2 = uv[M : M + h], uv[M + h : 2 * M]
+
+    A11 = butterfly_level(A[:h, :h], U1, V1)
+    A21 = butterfly_level(A[h:, :h], U2, V1)
+    A12 = butterfly_level(A[:h, h:], U1, V2)
+    A22 = butterfly_level(A[h:, h:], U2, V2)
+    A = jnp.concatenate(
+        [
+            jnp.concatenate([A11, A12], axis=1),
+            jnp.concatenate([A21, A22], axis=1),
+        ],
+        axis=0,
+    )
+
+    U, V = uv[2 * M : 3 * M], uv[3 * M : 4 * M]
+    return butterfly_level(A, U, V)
+
+
+def _butterfly_matrix(x: jax.Array) -> jax.Array:
+    """Dense [[diag(xu), diag(xl)], [diag(xu), -diag(xl)]] from the
+    2h-vector ``x`` (ref 🦋! + diagnegbottom, src/butterflylu.jl:115-147)."""
+    n = x.shape[0]
+    h = n // 2
+    du, dl = jnp.diag(x[:h]), jnp.diag(x[h:])
+    return jnp.concatenate(
+        [
+            jnp.concatenate([du, dl], axis=1),
+            jnp.concatenate([du, -dl], axis=1),
+        ],
+        axis=0,
+    )
+
+
+def materialize_uv(uv: jax.Array, M: int):
+    """Dense ``U = Bu2 @ Bu1`` and ``V = Bv2 @ Bv1`` from the 4M values
+    (ref materializeUV, src/butterflylu.jl:149-178)."""
+    h = M // 2
+    U1, V1 = uv[:h], uv[h:M]
+    U2, V2 = uv[M : M + h], uv[M + h : 2 * M]
+    Ufull, Vfull = uv[2 * M : 3 * M], uv[3 * M : 4 * M]
+
+    z = jnp.zeros((h, h), dtype=uv.dtype)
+    Bu2 = jnp.block(
+        [[_butterfly_matrix(U1), z], [z, _butterfly_matrix(U2)]]
+    )
+    Bv2 = jnp.block(
+        [[_butterfly_matrix(V1), z], [z, _butterfly_matrix(V2)]]
+    )
+    Bu1 = _butterfly_matrix(Ufull)
+    Bv1 = _butterfly_matrix(Vfull)
+    U = jnp.dot(Bu2, Bu1, preferred_element_type=uv.dtype)
+    V = jnp.dot(Bv2, Bv1, preferred_element_type=uv.dtype)
+    return U, V
+
+
+def _butterfly_t_vec(x: jax.Array, y: jax.Array) -> jax.Array:
+    """``B_x^T @ y`` implicitly (B^T = [[Du, Du], [Dl, -Dl]])."""
+    h = y.shape[0] // 2
+    y1, y2 = y[:h], y[h:]
+    return jnp.concatenate([x[:h] * (y1 + y2), x[h:] * (y1 - y2)])
+
+
+def _butterfly_vec(x: jax.Array, y: jax.Array) -> jax.Array:
+    """``B_x @ y`` implicitly."""
+    h = y.shape[0] // 2
+    t = x[:h] * y[:h]
+    s = x[h:] * y[h:]
+    return jnp.concatenate([t + s, t - s])
+
+
+def apply_ut(uv: jax.Array, b: jax.Array) -> jax.Array:
+    """Implicit ``U^T @ b`` = Bu1^T (Bu2^T b)."""
+    M = b.shape[0]
+    h = M // 2
+    t = jnp.concatenate(
+        [
+            _butterfly_t_vec(uv[:h], b[:h]),
+            _butterfly_t_vec(uv[M : M + h], b[h:]),
+        ]
+    )
+    return _butterfly_t_vec(uv[2 * M : 3 * M], t)
+
+
+def apply_v(uv: jax.Array, y: jax.Array) -> jax.Array:
+    """Implicit ``V @ y`` = Bv2 (Bv1 y)."""
+    M = y.shape[0]
+    h = M // 2
+    t = _butterfly_vec(uv[3 * M : 4 * M], y)
+    return jnp.concatenate(
+        [
+            _butterfly_vec(uv[h:M], t[:h]),
+            _butterfly_vec(uv[M + h : 2 * M], t[h:]),
+        ]
+    )
+
+
+def pad_to_multiple_of_4(A: jax.Array) -> jax.Array:
+    """Zero-pad A to the next multiple of 4 with identity on the new
+    diagonal block (ref pad!, src/butterflylu.jl:180-197)."""
+    n = A.shape[0]
+    xn = (-n) % 4
+    if xn == 0:
+        return A
+    Ap = jnp.zeros((n + xn, n + xn), dtype=A.dtype)
+    Ap = Ap.at[:n, :n].set(A)
+    return Ap.at[jnp.arange(n, n + xn), jnp.arange(n, n + xn)].set(1)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BWorkspace:
+    """RBT solve state (ref 🦋workspace, src/butterflylu.jl:20-43):
+    the padded matrix, padded rhs, the 4n butterfly values, materialized
+    dense U/V, and the original size."""
+
+    A: jax.Array
+    b: jax.Array
+    uv: jax.Array
+    U: jax.Array
+    V: jax.Array
+    n: int
+
+    def tree_flatten(self):
+        return (self.A, self.b, self.uv, self.U, self.V), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, n=aux[0])
+
+
+@functools.partial(jax.jit, static_argnames=("seed",))
+def _workspace_arrays(A, b, seed):
+    n = A.shape[0]
+    Ap = pad_to_multiple_of_4(A)
+    np_ = Ap.shape[0]
+    if np_ != n:
+        b = jnp.concatenate([b, jnp.zeros((np_ - n,), dtype=b.dtype)])
+    uv = generate_butterfly_values(np_, seed, Ap.dtype)
+    U, V = materialize_uv(uv, np_)
+    return Ap, b, uv, U, V
+
+
+def butterfly_workspace(
+    A: jax.Array, b: jax.Array, seed: int = DEFAULT_SEED
+) -> BWorkspace:
+    """Build the RBT workspace: pad to a multiple of 4, draw the 4n
+    butterfly values, materialize U and V."""
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    Ap, bp, uv, U, V = _workspace_arrays(A, b, seed)
+    return BWorkspace(A=Ap, b=bp, uv=uv, U=U, V=V, n=A.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("n", "config"))
+def _butterfly_solve_impl(A, b, uv, n: int, config: LUConfig):
+    from .lu import lu_factor
+    from .solve import _lu_solve_impl
+
+    At = butterfly_mul(A, uv)
+    factors, ipiv, info = lu_factor(At, pivot=False, config=config)
+    tmp = apply_ut(uv, b.astype(At.dtype))
+    y = _lu_solve_impl(factors, ipiv, tmp, pivoted=False, trans=False)
+    x = apply_v(uv, y)
+    return x[:n], info
+
+
+def butterfly_solve(
+    ws: BWorkspace,
+    *,
+    config: Optional[LUConfig] = None,
+    return_info: bool = False,
+):
+    """Pivot-free RBT solve (ref 🦋solve!, src/butterflylu.jl:45-55):
+    A~ = U^T A V  ->  pivot-free LU  ->  x = V (A~)^-1 U^T b, unpadded."""
+    config = config or default_config()
+    x, info = _butterfly_solve_impl(ws.A, ws.b, ws.uv, ws.n, config)
+    return (x, info) if return_info else x

@@ -1,0 +1,191 @@
+"""Public LU API — the functional analog of the reference's ``lu``/``lu!``.
+
+Reference surface being mirrored (src/lu.jl):
+* ``lu(A, pivot, thread; check)``  (src/lu.jl:19-21)  -> :func:`lu`
+* ``lu!(A, ...)``                  (src/lu.jl:63-79)  -> :func:`lu_inplace`
+  (XLA owns buffers, so "in-place" means donated-argument jit)
+* ``lu!(A, ipiv, ...)``            (src/lu.jl:93-122) -> :func:`lu_factor`
+* result object ``LinearAlgebra.LU(factors, ipiv, info)`` -> :class:`LU`
+* ``NotIPIV`` no-pivot fast path   (src/lu.jl:27-61)  -> ``pivot=False``
+  carries an identity pivot statically; solves skip the permutation.
+* adjoint/transpose wrappers       (src/lu.jl:81-83)  -> ``lu(A.T)`` /
+  :meth:`LU.T` solve-with-transpose support.
+* ``check``/``checknonsingular``   (src/lu.jl:120)    -> ``check=True``
+  raises :class:`SingularMatrixError` (host-synced; use the default
+  ``check=False`` under jit).
+
+The ``thread::Val`` argument of the reference selects shared-memory
+threading (src/lu.jl:124-132); on TPU all kernels are inherently
+data-parallel across VPU lanes / MXU tiles, so the knob's analog is the
+:class:`~..utils.config.LUConfig` schedule parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.blocked import blocked_lu
+from ..ops.unblocked import unblocked_lu
+from ..ops.panel import panel_factor
+from ..utils.config import LUConfig, default_config
+from ..utils.perm import ipiv_to_perm, perm_to_matrix
+
+
+class SingularMatrixError(Exception):
+    """Raised by ``check=True`` when the factorization hit an exactly-zero
+    pivot (the analog of ``LinearAlgebra.checknonsingular``,
+    ref src/lu.jl:120)."""
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class LU:
+    """LU factorization result (pytree).
+
+    ``factors`` packs unit-lower L and upper U like LAPACK/the reference;
+    ``ipiv`` is the 0-based row-swap sequence (length min(m, n));
+    ``info`` is int32: 0 ok, k = 1-based first zero pivot (negative on the
+    no-pivot path).  ``pivoted`` is static metadata.
+    """
+
+    factors: jax.Array
+    ipiv: jax.Array
+    info: jax.Array
+    pivoted: bool = True
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        return (self.factors, self.ipiv, self.info), (self.pivoted,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, pivoted=aux[0])
+
+    # -- convenience accessors (mirror LinearAlgebra.LU properties) ---------
+    @property
+    def shape(self):
+        return self.factors.shape
+
+    @property
+    def L(self) -> jax.Array:
+        m, n = self.factors.shape
+        minmn = min(m, n)
+        L = jnp.tril(self.factors[:, :minmn], k=-1)
+        return L + jnp.eye(m, minmn, dtype=self.factors.dtype)
+
+    @property
+    def U(self) -> jax.Array:
+        m, n = self.factors.shape
+        minmn = min(m, n)
+        return jnp.triu(self.factors[:minmn, :])
+
+    @property
+    def p(self) -> jax.Array:
+        """Row permutation vector: ``L @ U == A[p, :]`` (0-based)."""
+        return ipiv_to_perm(self.ipiv, self.factors.shape[0])
+
+    @property
+    def P(self) -> jax.Array:
+        """Dense permutation matrix with ``P @ A == L @ U``."""
+        return perm_to_matrix(self.p, self.factors.dtype)
+
+    def solve(self, b: jax.Array, trans: bool = False) -> jax.Array:
+        from .solve import lu_solve
+
+        return lu_solve(self, b, trans=trans)
+
+
+def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):
+    m, n = A.shape
+    minmn = min(m, n)
+    fast_dtype = A.dtype in (
+        jnp.dtype(jnp.float32),
+        jnp.dtype(jnp.float64),
+        jnp.dtype(jnp.bfloat16),
+    )
+    if not fast_dtype or minmn == 0:
+        # Generic fallback (complex & friends) — the analog of
+        # ref src/lu.jl:117-118.
+        return unblocked_lu(A, pivot)
+    if minmn <= config.small_threshold and m >= n:
+        # Whole matrix in one fused kernel — subsumes both the
+        # `min(m,n) < 10` escape hatch (ref src/lu.jl:70) and sub-threshold
+        # non-recursion (ref src/lu.jl:106).
+        return panel_factor(A, pivot, config)
+    return blocked_lu(A, pivot, config)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pivot", "config"), donate_argnames=("A",)
+)
+def _lu_factor_donated(A, pivot: bool, config: LUConfig):
+    return _dispatch_factor(A, pivot, config)
+
+
+@functools.partial(jax.jit, static_argnames=("pivot", "config"))
+def _lu_factor(A, pivot: bool, config: LUConfig):
+    return _dispatch_factor(A, pivot, config)
+
+
+def lu_factor(
+    A: jax.Array,
+    pivot: bool = True,
+    *,
+    config: Optional[LUConfig] = None,
+    donate: bool = False,
+):
+    """jit-friendly factorization: returns ``(factors, ipiv, info)``.
+
+    The analog of ``lu!(A, ipiv, pivot, thread)`` (ref src/lu.jl:93-122).
+    """
+    A = jnp.asarray(A)
+    if A.ndim != 2:
+        raise ValueError(f"lu_factor expects a matrix, got shape {A.shape}")
+    config = config or default_config()
+    fn = _lu_factor_donated if donate else _lu_factor
+    return fn(A, pivot, config)
+
+
+def _check_info(info, pivot: bool):
+    info_host = int(jax.device_get(info))
+    if info_host != 0:
+        raise SingularMatrixError(
+            f"matrix is singular: zero pivot at factorization step "
+            f"{abs(info_host)} (info={info_host}, pivoted={pivot})"
+        )
+
+
+def lu(
+    A: jax.Array,
+    pivot: bool = True,
+    *,
+    check: bool = False,
+    config: Optional[LUConfig] = None,
+) -> LU:
+    """Out-of-place LU — the analog of ``RecursiveFactorization.lu``
+    (ref src/lu.jl:19-21). Returns an :class:`LU` object."""
+    factors, ipiv, info = lu_factor(A, pivot, config=config)
+    if check:
+        _check_info(info, pivot)
+    return LU(factors, ipiv, info, pivoted=pivot)
+
+
+def lu_inplace(
+    A: jax.Array,
+    pivot: bool = True,
+    *,
+    check: bool = False,
+    config: Optional[LUConfig] = None,
+) -> LU:
+    """"In-place" LU: the input buffer is donated to XLA so the
+    factorization reuses A's memory — the ``lu!`` analog
+    (ref src/lu.jl:63-79). The caller must not reuse ``A`` afterwards."""
+    factors, ipiv, info = lu_factor(A, pivot, config=config, donate=True)
+    if check:
+        _check_info(info, pivot)
+    return LU(factors, ipiv, info, pivoted=pivot)

@@ -1,0 +1,104 @@
+"""Static blocked right-looking LU schedule (the TPU Toledo analog).
+
+The reference's cache-oblivious recursion (``reckernel!``, reference
+src/lu.jl:181-255) exists to tile for an implicit CPU cache hierarchy.
+On TPU the hierarchy is explicit, so the recursion is flattened at trace
+time into a right-looking panel schedule with static shapes that XLA can
+pipeline:
+
+    for each panel s (width w):
+        1. factor the tall panel A[s:, s:s+w]      (fused Pallas kernel)
+        2. laswp: apply the panel's pivot sequence to the other columns
+           as ONE composed-permutation gather     (ref src/lu.jl:156-180)
+        3. TRSM:  U12 = L11^-1 @ A12 via triangular inverse + MXU matmul
+                                                  (ref src/lu.jl:227)
+        4. Schur: A22 -= L21 @ U12 on the MXU     (ref src/lu.jl:257-276)
+
+Fat matrices (m < n) factor the left m x m block then TRSM the remainder,
+mirroring ``_recurse!`` (ref src/lu.jl:137-148).  ``info`` offsetting
+across panels mirrors ref src/lu.jl:240-247.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import LUConfig
+from ..utils.perm import ipiv_to_perm
+from .panel import panel_factor
+from .schur import schur_update
+from .trsm import solve_unit_lower, unit_lower_inverse
+
+
+def _offset_info(info, local_info, s):
+    """First zero pivot wins; offset panel-local info by the panel start
+    (sign-aware for the no-pivot negative convention,
+    ref src/lu.jl:240-247)."""
+    glob = jnp.where(local_info < 0, local_info - s, local_info + s)
+    return jnp.where((info == 0) & (local_info != 0), glob, info)
+
+
+def blocked_lu(
+    A: jax.Array, pivot: bool, config: LUConfig
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Factor ``A`` (m x n) with the static blocked schedule.
+
+    Returns ``(factors, ipiv, info)``; ``ipiv`` is the 0-based global swap
+    sequence of length min(m, n).
+    """
+    m, n = A.shape
+    minmn = min(m, n)
+    if m < n:
+        # Fat: factor the left square block, then permute + TRSM the
+        # remaining columns (ref _recurse! src/lu.jl:140-146).
+        FL, ipiv, info = blocked_lu(A[:, :m], pivot, config)
+        AR = A[:, m:]
+        if pivot:
+            AR = jnp.take(AR, ipiv_to_perm(ipiv, m), axis=0)
+        U1R = solve_unit_lower(FL, AR, config.trsm_block)
+        return jnp.concatenate([FL, U1R], axis=1), ipiv, info
+
+    w = config.resolved_panel_width(m, n, jnp.dtype(A.dtype).itemsize)
+    ipiv = jnp.zeros((minmn,), jnp.int32)
+    info = jnp.int32(0)
+
+    s = 0
+    while s < n:
+        ws = min(w, n - s)
+        mh = m - s  # panel height
+        pf, piv_local, local_info = panel_factor(
+            A[s:, s : s + ws], pivot, config
+        )
+        A = A.at[s:, s : s + ws].set(pf)
+        ipiv = ipiv.at[s : s + ws].set(piv_local + s)
+        info = _offset_info(info, local_info, s)
+
+        if pivot and (s > 0 or s + ws < n):
+            perm_local = ipiv_to_perm(piv_local, mh)
+            if s > 0:
+                A = A.at[s:, :s].set(jnp.take(A[s:, :s], perm_local, axis=0))
+            if s + ws < n:
+                A = A.at[s:, s + ws :].set(
+                    jnp.take(A[s:, s + ws :], perm_local, axis=0)
+                )
+        if s + ws < n:
+            L11_inv = unit_lower_inverse(pf[:ws, :ws])
+            U12 = jnp.dot(
+                L11_inv, A[s : s + ws, s + ws :],
+                preferred_element_type=A.dtype,
+            )
+            A = A.at[s : s + ws, s + ws :].set(U12)
+            A = A.at[s + ws :, s + ws :].set(
+                schur_update(
+                    A[s + ws :, s + ws :],
+                    A[s + ws :, s : s + ws],
+                    U12,
+                    config.schur_precision,
+                )
+            )
+        s += ws
+
+    return A, ipiv, info

@@ -1,0 +1,78 @@
+"""Configuration for the TPU LU schedule.
+
+The reference tunes itself to the CPU memory hierarchy: recursion
+``threshold`` 40 (48 on AVX-512) (reference src/lu.jl:85-86), base
+``blocksize`` 16 (8 once the matrix exceeds 40_000 elements,
+src/lu.jl:97), split points rounded to 64-byte cachelines
+(``nsplit``, src/lu.jl:150-154), and an L2-residency gate for threading
+(src/lu.jl:124-132).
+
+On TPU the hierarchy is explicit, so the analogous knobs are derived from
+MXU tile (128x128), VPU lanes (8x128) and VMEM capacity (~16 MiB more
+recently up to ~128 MiB on v5e/v6e... we assume 16 MiB usable budget per
+kernel by default, conservatively):
+
+* ``panel_width`` — the blocked schedule's panel (the ``blocksize`` analog),
+  a multiple of the 128 MXU lane dim.
+* ``small_threshold`` — below this min(m, n), a single fused whole-matrix
+  kernel is used instead of the blocked schedule (the analog of both the
+  ``min(m,n) < 10`` stdlib escape hatch at src/lu.jl:70 and the recursion
+  ``threshold`` at src/lu.jl:86,98).
+* ``schur_precision`` — 'float32' (exact f32 accumulate) or 'bf16' for
+  bf16-compute/f32-accumulate Schur updates on the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+LANE = 128           # TPU lane count / MXU dimension
+SUBLANE_F32 = 8      # f32 sublane tile
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024  # leave headroom of the ~16MiB VMEM
+
+
+@dataclasses.dataclass(frozen=True)
+class LUConfig:
+    """Static (trace-time) configuration of the LU schedule."""
+
+    # Panel width of the blocked right-looking schedule. None -> derived.
+    panel_width: Optional[int] = None
+    # min(m,n) at or below which a single fused kernel factors the whole
+    # matrix (VMEM-resident). None -> derived from dtype/VMEM.
+    small_threshold: int = 256
+    # 'float32' | 'bf16' : compute precision of the Schur-complement matmul
+    # (accumulation is always f32 for 'bf16').
+    schur_precision: str = "float32"
+    # 'auto' | 'pallas' | 'xla' : kernel backend. 'auto' = Pallas on TPU,
+    # pure-XLA elsewhere (the f32/f64 fast path vs generic fallback split of
+    # reference src/lu.jl:107-118).
+    backend: str = "auto"
+    # Block size for the blocked triangular solves (TRSM) and triangular
+    # inversion base case.
+    trsm_block: int = 128
+
+    def resolved_panel_width(self, m: int, n: int, itemsize: int) -> int:
+        if self.panel_width is not None:
+            return self.panel_width
+        # Mirror the spirit of the reference's size-adaptive blocksize
+        # (src/lu.jl:97): smaller panels for huge matrices keep the tall
+        # panel within VMEM; larger panels amortize per-panel latency.
+        # A full m x w f32 panel must fit in VMEM alongside scratch.
+        w = 256 if min(m, n) >= 1024 else 128
+        while m * w * itemsize > VMEM_BUDGET_BYTES // 2 and w > LANE:
+            w //= 2
+        return max(w, 32)
+
+
+def default_config() -> LUConfig:
+    return LUConfig()
+
+
+def is_tpu_backend() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False

@@ -1,0 +1,94 @@
+"""Butterfly (RBT) module tests — component checks of the implicit
+transforms against the materialized U/V, and the reference's end-to-end
+accuracy gate: pivot-free RBT solve of Wilkinson worst-growth matrices
+with ||A x - b|| <= 1e-10 (ref test/runtests.jl:80-88)."""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import recursivefactorization_jl_tpu as rf
+from recursivefactorization_jl_tpu.models import butterfly as bf
+
+RNG = np.random.RandomState(7)
+
+
+def wilkinson(n):
+    """Worst-case-growth matrix (ref test/runtests.jl:68-78)."""
+    A = np.zeros((n, n))
+    np.fill_diagonal(A, 1.0)
+    A[:, -1] = 1.0
+    A[np.tril_indices(n, -1)] = -1.0
+    return A
+
+
+def test_butterfly_values():
+    uv = np.asarray(bf.generate_butterfly_values(16))
+    assert uv.shape == (64,)
+    # exphalf over (-0.05, 0.1): values cluster near 0.5
+    # (ref src/butterflylu.jl:7-13)
+    assert np.all(uv > 0.5 * np.exp(-0.05) - 1e-12)
+    assert np.all(uv < 0.5 * np.exp(0.1) + 1e-12)
+    # deterministic seeding (default 888)
+    uv2 = np.asarray(bf.generate_butterfly_values(16))
+    np.testing.assert_array_equal(uv, uv2)
+
+
+def test_butterfly_mul_matches_materialized():
+    """A <- U^T A V implicit two-level apply == dense U^T A V
+    (ref 🦋mul! vs materializeUV, src/butterflylu.jl:93-113,149-178)."""
+    n = 32
+    A = RNG.rand(n, n)
+    uv = jnp.asarray(RNG.rand(4 * n) + 0.5)
+    At = np.asarray(jax.jit(bf.butterfly_mul)(jnp.asarray(A), uv))
+    U, V = jax.jit(bf.materialize_uv, static_argnums=1)(uv, n)
+    U, V = np.asarray(U), np.asarray(V)
+    np.testing.assert_allclose(At, U.T @ A @ V, atol=1e-12)
+
+
+def test_implicit_vector_applies():
+    n = 24
+    uv = jnp.asarray(RNG.rand(4 * n) + 0.5)
+    b = RNG.rand(n)
+    U, V = jax.jit(bf.materialize_uv, static_argnums=1)(uv, n)
+    utb = np.asarray(jax.jit(bf.apply_ut)(uv, jnp.asarray(b)))
+    np.testing.assert_allclose(utb, np.asarray(U).T @ b, atol=1e-12)
+    vy = np.asarray(jax.jit(bf.apply_v)(uv, jnp.asarray(b)))
+    np.testing.assert_allclose(vy, np.asarray(V) @ b, atol=1e-12)
+
+
+def test_pad():
+    A = RNG.rand(5, 5)
+    Ap = np.asarray(bf.pad_to_multiple_of_4(jnp.asarray(A)))
+    assert Ap.shape == (8, 8)
+    np.testing.assert_array_equal(Ap[:5, :5], A)
+    np.testing.assert_array_equal(Ap[5:, 5:], np.eye(3))
+    assert np.all(Ap[:5, 5:] == 0) and np.all(Ap[5:, :5] == 0)
+
+
+def test_wilkinson_rbt_solve():
+    """End-to-end RBT accuracy on adversarial (worst pivot growth)
+    matrices; sizes straddle multiples of 4 to exercise pad!
+    (ref test/runtests.jl:80-88)."""
+    for n in [790, 797, 800, 803]:
+        A = wilkinson(n)
+        b = RNG.rand(n)
+        ws = rf.butterfly_workspace(jnp.asarray(A), jnp.asarray(b))
+        x = np.asarray(rf.butterfly_solve(ws))
+        assert x.shape == (n,)
+        err = np.linalg.norm(A @ x - b)
+        assert err <= 1e-10, (n, err)
+
+
+def test_rbt_on_random():
+    """RBT pivot-free solve matches a pivoted solve on well-conditioned
+    random matrices."""
+    n = 100
+    A = RNG.rand(n, n) + n * np.eye(n)
+    b = RNG.rand(n)
+    ws = rf.butterfly_workspace(jnp.asarray(A), jnp.asarray(b))
+    x = np.asarray(rf.butterfly_solve(ws))
+    np.testing.assert_allclose(A @ x, b, atol=1e-9)

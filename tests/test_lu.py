@@ -1,0 +1,179 @@
+"""Core LU sweep — translation of the reference test strategy
+(reference test/runtests.jl:31-66): pivot x dtype x size cross-product,
+square + fat-rectangular shapes, oracle-diff against LAPACK (scipy),
+residual / solve-accuracy / info-semantics / singularity-propagation
+checks with the reference's exact tolerance formulas.
+
+The host is 1-core, so the sweep is budgeted: f64 gets the full size
+sweep, other dtypes get spot sizes; all checks are numpy-side.
+"""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+import jax.numpy as jnp
+
+import recursivefactorization_jl_tpu as rf
+
+from helpers import lu_residual, np_perm_from_ipiv
+
+RNG = np.random.RandomState(12)  # ref test/runtests.jl:7 Random.seed!(12)
+
+BLOCKED16 = rf.LUConfig(panel_width=16, small_threshold=0)
+BLOCKED64 = rf.LUConfig(panel_width=64, small_threshold=0)
+
+# dtype -> sizes (square + fat (s, s+2) each); f64 mirrors the reference's
+# [1..10; 50,130,300] sweep, others are spot checks of the same machinery.
+SWEEP = {
+    np.float64: list(range(1, 11)) + [50, 130],
+    np.float32: [6, 10, 50],
+    np.complex128: [8, 50],
+    np.complex64: [9, 33],
+}
+
+
+def rand_mat(shape, dtype):
+    if np.issubdtype(dtype, np.complexfloating):
+        return (RNG.rand(*shape) + 1j * RNG.rand(*shape)).astype(dtype)
+    return RNG.rand(*shape).astype(dtype)
+
+
+def check_lu(A, F, pivoted, loose=False, solve=True):
+    """Mirror of `testlu` (ref test/runtests.jl:12-28)."""
+    m, n = A.shape
+    eps = np.finfo(np.asarray(A).real.dtype).eps
+    E = 20 * m * eps
+    tol = E if (pivoted and not loose) else 10 * np.sqrt(E)
+
+    if int(F.info) != 0:
+        return  # singular: residual/solve skipped like the reference
+    resid = lu_residual(A, F.factors, F.ipiv)
+    assert resid < tol, f"residual {resid} >= {tol} ({A.shape}, {A.dtype})"
+
+    if m == n and solve and m > 0:
+        b = np.asarray(rf.lu_solve(F, jnp.asarray(A[:, -1])))
+        if np.all(np.isfinite(b)):
+            rhs = np.zeros(n, dtype=A.dtype)
+            rhs[-1] = 1
+            atol = 100 * E if (pivoted and not loose) else 100 * np.sqrt(E)
+            assert np.allclose(b, rhs, atol=atol), (
+                f"solve error {np.max(np.abs(b - rhs))} > {atol}"
+            )
+
+
+@pytest.mark.parametrize(
+    "dtype", list(SWEEP), ids=lambda d: np.dtype(d).name
+)
+@pytest.mark.parametrize("pivot", [True, False])
+def test_lu_sweep(pivot, dtype):
+    for s in SWEEP[dtype]:
+        for shape in [(s, s), (s, s + 2)]:
+            A = rand_mat(shape, dtype)
+            F = rf.lu(jnp.asarray(A), pivot)
+            check_lu(A, F, pivot)
+            if (
+                pivot
+                and s <= 64
+                and not np.issubdtype(dtype, np.complexfloating)
+            ):
+                # Small sizes run the unblocked getf2-equivalent path on
+                # both sides -> pivot sequence and factors agree to
+                # rounding (real dtypes share LAPACK's first-occurrence
+                # |.| argmax rule).
+                lu_sp, piv_sp = scipy.linalg.lu_factor(A)
+                np.testing.assert_array_equal(
+                    np.asarray(F.ipiv), piv_sp.astype(np.int64)
+                )
+                np.testing.assert_allclose(
+                    np.asarray(F.factors), lu_sp, rtol=0,
+                    atol=20 * max(shape) * np.finfo(
+                        np.asarray(A).real.dtype).eps,
+                )
+
+
+@pytest.mark.parametrize("pivot", [True, False])
+def test_blocked_schedule(pivot):
+    """The multi-panel blocked path (panel factor + laswp + TRSM + Schur)
+    on square/fat/tall shapes, small panels to force many panels."""
+    for shape, cfg in [
+        ((50, 50), BLOCKED16),
+        ((130, 130), BLOCKED16),
+        ((130, 132), BLOCKED16),
+        ((300, 300), BLOCKED64),
+        ((200, 80), BLOCKED64),
+    ]:
+        A = rand_mat(shape, np.float64)
+        F = rf.lu(jnp.asarray(A), pivot, config=cfg)
+        check_lu(A, F, pivot, solve=False)
+
+
+@pytest.mark.parametrize("pivot", [True, False])
+def test_singular_info(pivot):
+    """Zero out a column; info must record the first zero pivot exactly
+    like LAPACK/stdlib (ref test/runtests.jl:57-62), on both the
+    unblocked and blocked paths (panel info offsetting,
+    ref src/lu.jl:240-247)."""
+    for s in [4, 10, 50]:
+        A = rand_mat((s, s), np.float64)
+        j = RNG.randint(0, s)
+        A[:, j] = 0
+        F = rf.lu(jnp.asarray(A), pivot)
+        info = int(F.info)
+        if pivot:
+            _, _, info_sp = scipy.linalg.lapack.dgetrf(A)
+            assert info == info_sp, (info, info_sp, s, j)
+        else:
+            # No-pivot convention: negative info (ref src/lu.jl:24-25).
+            assert info == -(j + 1), (info, j, s)
+        check_lu(A, F, pivot)
+
+        Fb = rf.lu(jnp.asarray(A), pivot, config=BLOCKED16)
+        assert int(Fb.info) == info, (int(Fb.info), info)
+
+
+def test_transpose_solve():
+    """Adjoint/transpose wrapper analog (ref src/lu.jl:81-83,
+    test/runtests.jl:53-56): solving A^T x = b through the factorization
+    of A."""
+    A = rand_mat((60, 60), np.float64)
+    b = rand_mat((60,), np.float64)
+    F = rf.lu(jnp.asarray(A))
+    x = np.asarray(rf.lu_solve(F, jnp.asarray(b), trans=True))
+    x_ref = np.linalg.solve(A.T, b)
+    np.testing.assert_allclose(x, x_ref, atol=1e-10)
+
+
+def test_lu_inplace_and_factor():
+    A = rand_mat((64, 64), np.float64)
+    f1, ipiv1, info1 = rf.lu_factor(jnp.asarray(A))
+    F2 = rf.lu_inplace(jnp.asarray(A))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(F2.factors))
+    np.testing.assert_array_equal(np.asarray(ipiv1), np.asarray(F2.ipiv))
+    assert int(info1) == int(F2.info) == 0
+
+
+def test_check_raises():
+    A = np.eye(5)
+    A[2, 2] = 0.0
+    with pytest.raises(rf.SingularMatrixError):
+        rf.lu(jnp.asarray(A), check=True)
+    F = rf.lu(jnp.asarray(A), check=False)
+    assert int(F.info) == 3
+
+
+def test_matrix_rhs_solve():
+    A = rand_mat((40, 40), np.float64)
+    B = rand_mat((40, 3), np.float64)
+    F = rf.lu(jnp.asarray(A))
+    X = np.asarray(rf.lu_solve(F, jnp.asarray(B)))
+    np.testing.assert_allclose(A @ X, B, atol=1e-10)
+
+
+def test_empty_and_tiny():
+    A = rand_mat((0, 0), np.float64)
+    f, ipiv, info = rf.lu_factor(jnp.asarray(A))
+    assert f.shape == (0, 0) and ipiv.shape == (0,) and int(info) == 0
+    A = rand_mat((1, 1), np.float64)
+    F = rf.lu(jnp.asarray(A))
+    assert np.allclose(np.asarray(F.factors)[0, 0], A[0, 0])
