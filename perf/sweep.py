@@ -1,0 +1,125 @@
+"""GFLOPS-vs-size sweep — the analog of the reference benchmark harness
+(reference perf/lu.jl:1-81): exact-LU-flop GFLOPS across a size sweep,
+comparing this framework against the platform BLAS/LAPACK analog (XLA's
+`lu_factor`) plus schedule variants (fully-fused small kernel vs blocked
+schedule — the reference compares threshold=4 vs threshold=800 variants,
+perf/lu.jl:48-59).
+
+Run on the real chip:   python perf/sweep.py
+Options:                --sizes 256,512,1024,2048,4096 --dtype float32
+                        --out perf/results.json
+
+Writes one JSON record per (size, variant) and prints a table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import recursivefactorization_jl_tpu as rf
+
+
+def luflop(m: int, n: int) -> float:
+    """Exact LU flop count (same accounting as reference perf/lu.jl:7-19)."""
+    minmn = min(m, n)
+    k = np.arange(minmn, dtype=np.float64)
+    return float(np.sum((m - k - 1) + 2.0 * (m - k - 1) * (n - k - 1)))
+
+
+def best_time(fn, A, reps: int = 5, budget_s: float = 2.0) -> float:
+    jax.block_until_ready(fn(A))  # compile
+    best = float("inf")
+    t_start = time.perf_counter()
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(A))
+        best = min(best, time.perf_counter() - t0)
+        if time.perf_counter() - t_start > budget_s:
+            break
+    return best
+
+
+def variants(dtype):
+    return {
+        # default adaptive schedule
+        "rf_default": jax.jit(lambda a: rf.lu_factor(a, True)),
+        # fully blocked (recursion-analog forced on, like threshold=4)
+        "rf_blocked": jax.jit(
+            lambda a: rf.lu_factor(
+                a, True, config=rf.LUConfig(small_threshold=0)
+            )
+        ),
+        # XLA/LAPACK baseline (the OpenBLAS lu! analog)
+        "xla_lu": jax.jit(lambda a: jax.scipy.linalg.lu_factor(a)),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sizes", default="64,128,256,512,1024,2048,4096"
+    )
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--batched", action="store_true",
+                    help="also sweep the 10k x 64 x 64 batched workload")
+    args = ap.parse_args()
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    dtype = jnp.dtype(args.dtype)
+    rng = np.random.RandomState(123)  # ref perf/lu.jl:4
+    records = []
+
+    print(f"# LU sweep dtype={dtype.name} backend={jax.default_backend()}")
+    header = ["n"] + list(variants(dtype))
+    print("\t".join(header))
+    for n in sizes:
+        A = jnp.asarray(rng.standard_normal((n, n)), dtype=dtype)
+        row = [str(n)]
+        for name, fn in variants(dtype).items():
+            t = best_time(fn, A)
+            gf = luflop(n, n) / t / 1e9
+            row.append(f"{gf:.1f}")
+            records.append(
+                {"variant": name, "n": n, "dtype": dtype.name,
+                 "time_s": t, "gflops": gf}
+            )
+        print("\t".join(row))
+
+    if args.batched:
+        B, n = 10000, 64
+        from recursivefactorization_jl_tpu.parallel import batched_lu_factor
+
+        A = jnp.asarray(
+            rng.standard_normal((B, n, n)), dtype=jnp.float32
+        )
+        for name, fn in {
+            "rf_batched": jax.jit(lambda a: batched_lu_factor(a, True)),
+            "xla_batched": jax.jit(
+                lambda a: jax.vmap(jax.scipy.linalg.lu_factor)(a)
+            ),
+        }.items():
+            t = best_time(fn, A)
+            gf = B * luflop(n, n) / t / 1e9
+            print(f"{name}\tB={B} n={n}\t{gf:.1f} GFLOP/s\t{t * 1e3:.1f} ms")
+            records.append(
+                {"variant": name, "n": n, "batch": B,
+                 "dtype": "float32", "time_s": t, "gflops": gf}
+            )
+
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+        print(f"# wrote {len(records)} records to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

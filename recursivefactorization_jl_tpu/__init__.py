@@ -48,6 +48,14 @@ from .models.butterfly import (
 )
 from .utils.config import LUConfig, default_config
 from .utils.perm import ipiv_to_perm, perm_to_matrix
+from .parallel import (
+    batched_lu_factor,
+    batched_lu_solve,
+    sharded_batched_lu_factor,
+    sharded_batched_lu_solve,
+    tp_lu,
+    tp_lu_factor,
+)
 
 __version__ = "0.1.0"
 
@@ -70,4 +78,10 @@ __all__ = [
     "default_config",
     "ipiv_to_perm",
     "perm_to_matrix",
+    "batched_lu_factor",
+    "batched_lu_solve",
+    "sharded_batched_lu_factor",
+    "sharded_batched_lu_solve",
+    "tp_lu",
+    "tp_lu_factor",
 ]

@@ -32,7 +32,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.config import LUConfig, default_config
+from ..utils.config import LUConfig, default_config, full_matmul_precision
 
 DEFAULT_SEED = 888  # ref src/butterflylu.jl:8 Val(888)
 
@@ -213,6 +213,7 @@ class BWorkspace:
 
 
 @functools.partial(jax.jit, static_argnames=("seed",))
+@full_matmul_precision
 def _workspace_arrays(A, b, seed):
     n = A.shape[0]
     Ap = pad_to_multiple_of_4(A)
@@ -236,6 +237,7 @@ def butterfly_workspace(
 
 
 @functools.partial(jax.jit, static_argnames=("n", "config"))
+@full_matmul_precision
 def _butterfly_solve_impl(A, b, uv, n: int, config: LUConfig):
     from .lu import lu_factor
     from .solve import _lu_solve_impl

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..ops.blocked import blocked_lu
 from ..ops.unblocked import unblocked_lu
 from ..ops.panel import panel_factor
-from ..utils.config import LUConfig, default_config
+from ..utils.config import LUConfig, default_config, full_matmul_precision
 from ..utils.perm import ipiv_to_perm, perm_to_matrix
 
 
@@ -40,6 +40,30 @@ class SingularMatrixError(Exception):
     """Raised by ``check=True`` when the factorization hit an exactly-zero
     pivot (the analog of ``LinearAlgebra.checknonsingular``,
     ref src/lu.jl:120)."""
+
+
+def normalize_pivot(pivot) -> bool:
+    """Normalize the pivot selector to a static bool.
+
+    The analog of the reference's ``normalize_pivot``/``to_stdlib_pivot``
+    (ref src/lu.jl:9-17), which maps ``Val(true)/Val(false)`` and the
+    stdlib ``RowMaximum()/NoPivot()`` objects onto one convention.  Here
+    the accepted spellings are: bool, None (no pivoting), and the
+    strings "partial"/"rowmaximum" (pivoted) / "none"/"nopivot"."""
+    if isinstance(pivot, bool):
+        return pivot
+    if pivot is None:
+        return False
+    if isinstance(pivot, str):
+        key = pivot.replace("_", "").lower()
+        if key in ("partial", "row", "rowmaximum", "rowmax"):
+            return True
+        if key in ("none", "nopivot", "no"):
+            return False
+    raise ValueError(
+        f"unrecognized pivot selector {pivot!r}; use True/False, None, "
+        "'partial'/'rowmaximum', or 'none'/'nopivot'"
+    )
 
 
 @jax.tree_util.register_pytree_node_class
@@ -50,21 +74,28 @@ class LU:
     ``factors`` packs unit-lower L and upper U like LAPACK/the reference;
     ``ipiv`` is the 0-based row-swap sequence (length min(m, n));
     ``info`` is int32: 0 ok, k = 1-based first zero pivot (negative on the
-    no-pivot path).  ``pivoted`` is static metadata.
+    no-pivot path).  ``pivoted`` is static metadata.  ``perm`` optionally
+    caches the composed row permutation (produced for free by the
+    factorization kernels); when absent it is recomposed from ``ipiv``
+    on demand.
     """
 
     factors: jax.Array
     ipiv: jax.Array
     info: jax.Array
     pivoted: bool = True
+    perm: Optional[jax.Array] = None
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
-        return (self.factors, self.ipiv, self.info), (self.pivoted,)
+        return (self.factors, self.ipiv, self.info, self.perm), (
+            self.pivoted,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, pivoted=aux[0])
+        factors, ipiv, info, perm = children
+        return cls(factors, ipiv, info, pivoted=aux[0], perm=perm)
 
     # -- convenience accessors (mirror LinearAlgebra.LU properties) ---------
     @property
@@ -87,6 +118,8 @@ class LU:
     @property
     def p(self) -> jax.Array:
         """Row permutation vector: ``L @ U == A[p, :]`` (0-based)."""
+        if self.perm is not None:
+            return self.perm
         return ipiv_to_perm(self.ipiv, self.factors.shape[0])
 
     @property
@@ -100,7 +133,9 @@ class LU:
         return lu_solve(self, b, trans=trans)
 
 
+@full_matmul_precision
 def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):
+    """Returns ``(factors, ipiv, perm, info)``."""
     m, n = A.shape
     minmn = min(m, n)
     fast_dtype = A.dtype in (
@@ -143,12 +178,30 @@ def lu_factor(
 
     The analog of ``lu!(A, ipiv, pivot, thread)`` (ref src/lu.jl:93-122).
     """
+    factors, ipiv, perm, info = lu_factor_p(
+        A, pivot, config=config, donate=donate
+    )
+    return factors, ipiv, info
+
+
+def lu_factor_p(
+    A: jax.Array,
+    pivot: bool = True,
+    *,
+    config: Optional[LUConfig] = None,
+    donate: bool = False,
+):
+    """Like :func:`lu_factor` but also returns the composed row
+    permutation: ``(factors, ipiv, perm, info)`` with
+    ``L @ U == A[perm, :]``.  The permutation falls out of the
+    factorization kernels for free; downstream solves should use it
+    instead of recomposing from ``ipiv``."""
     A = jnp.asarray(A)
     if A.ndim != 2:
         raise ValueError(f"lu_factor expects a matrix, got shape {A.shape}")
     config = config or default_config()
     fn = _lu_factor_donated if donate else _lu_factor
-    return fn(A, pivot, config)
+    return fn(A, normalize_pivot(pivot), config)
 
 
 def _check_info(info, pivot: bool):
@@ -169,10 +222,11 @@ def lu(
 ) -> LU:
     """Out-of-place LU — the analog of ``RecursiveFactorization.lu``
     (ref src/lu.jl:19-21). Returns an :class:`LU` object."""
-    factors, ipiv, info = lu_factor(A, pivot, config=config)
+    pivot = normalize_pivot(pivot)
+    factors, ipiv, perm, info = lu_factor_p(A, pivot, config=config)
     if check:
         _check_info(info, pivot)
-    return LU(factors, ipiv, info, pivoted=pivot)
+    return LU(factors, ipiv, info, pivoted=pivot, perm=perm)
 
 
 def lu_inplace(
@@ -185,7 +239,10 @@ def lu_inplace(
     """"In-place" LU: the input buffer is donated to XLA so the
     factorization reuses A's memory — the ``lu!`` analog
     (ref src/lu.jl:63-79). The caller must not reuse ``A`` afterwards."""
-    factors, ipiv, info = lu_factor(A, pivot, config=config, donate=True)
+    pivot = normalize_pivot(pivot)
+    factors, ipiv, perm, info = lu_factor_p(
+        A, pivot, config=config, donate=True
+    )
     if check:
         _check_info(info, pivot)
-    return LU(factors, ipiv, info, pivoted=pivot)
+    return LU(factors, ipiv, info, pivoted=pivot, perm=perm)

@@ -17,12 +17,17 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import trsm
+from ..utils.config import full_matmul_precision
 from ..utils.perm import invert_perm, ipiv_to_perm
 
 
 @functools.partial(jax.jit, static_argnames=("pivoted", "trans"))
-def _lu_solve_impl(factors, ipiv, b, pivoted: bool, trans: bool):
-    n = factors.shape[0]
+@full_matmul_precision
+def _lu_solve_impl(factors, perm, b, pivoted: bool, trans: bool):
+    """``perm`` is the COMPOSED row permutation (``L@U == A[perm,:]``),
+    not the ipiv swap sequence — composing ipiv on the fly is a
+    sequential n-step scalar chain that would dominate the solve on TPU
+    (the factorization hands the composed vector out for free)."""
     if factors.shape[0] != factors.shape[1]:
         raise ValueError("lu_solve requires a square factorization")
     vec = b.ndim == 1
@@ -31,7 +36,6 @@ def _lu_solve_impl(factors, ipiv, b, pivoted: bool, trans: bool):
 
     if not trans:
         if pivoted:
-            perm = ipiv_to_perm(ipiv, n)
             B = jnp.take(B, perm, axis=0)
         y = trsm.solve_unit_lower(factors, B)
         x = trsm.solve_upper(factors, y)
@@ -40,7 +44,6 @@ def _lu_solve_impl(factors, ipiv, b, pivoted: bool, trans: bool):
         y = trsm.solve_lower(factors.T, B)
         x = trsm.solve_unit_upper(factors.T, y)
         if pivoted:
-            perm = ipiv_to_perm(ipiv, n)
             x = jnp.take(x, invert_perm(perm), axis=0)
     return x[:, 0] if vec else x
 
@@ -48,8 +51,9 @@ def _lu_solve_impl(factors, ipiv, b, pivoted: bool, trans: bool):
 def lu_solve(lu_res, b: jax.Array, trans: bool = False) -> jax.Array:
     """Solve ``A x = b`` (or ``A^T x = b`` with ``trans=True``) given
     ``lu_res = lu(A)``."""
+    perm = lu_res.p if lu_res.pivoted else lu_res.ipiv
     return _lu_solve_impl(
-        lu_res.factors, lu_res.ipiv, jnp.asarray(b), lu_res.pivoted, trans
+        lu_res.factors, perm, jnp.asarray(b), lu_res.pivoted, trans
     )
 
 

@@ -8,11 +8,16 @@ pipeline:
 
     for each panel s (width w):
         1. factor the tall panel A[s:, s:s+w]      (fused Pallas kernel)
-        2. laswp: apply the panel's pivot sequence to the other columns
-           as ONE composed-permutation gather     (ref src/lu.jl:156-180)
+        2. laswp: apply the panel's composed permutation to all other
+           columns as ONE row gather               (ref src/lu.jl:156-180)
         3. TRSM:  U12 = L11^-1 @ A12 via triangular inverse + MXU matmul
                                                   (ref src/lu.jl:227)
         4. Schur: A22 -= L21 @ U12 on the MXU     (ref src/lu.jl:257-276)
+
+The permutation vector comes out of the panel kernel itself (maintained
+alongside the swaps); recomposing it from ipiv would cost a sequential
+m-step scalar chain per panel — measured ~0.75 ms per 256 steps on TPU,
+which dominated the whole factorization before this design.
 
 Fat matrices (m < n) factor the left m x m block then TRSM the remainder,
 mirroring ``_recurse!`` (ref src/lu.jl:137-148).  ``info`` offsetting
@@ -27,7 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.config import LUConfig
-from ..utils.perm import ipiv_to_perm
 from .panel import panel_factor
 from .schur import schur_update
 from .trsm import solve_unit_lower, unit_lower_inverse
@@ -43,47 +47,46 @@ def _offset_info(info, local_info, s):
 
 def blocked_lu(
     A: jax.Array, pivot: bool, config: LUConfig
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Factor ``A`` (m x n) with the static blocked schedule.
 
-    Returns ``(factors, ipiv, info)``; ``ipiv`` is the 0-based global swap
-    sequence of length min(m, n).
+    Returns ``(factors, ipiv, perm, info)``; ``ipiv`` is the 0-based
+    global swap sequence of length min(m, n) and ``perm`` the composed
+    global row permutation (``L @ U == A[perm, :]``).
     """
     m, n = A.shape
     minmn = min(m, n)
     if m < n:
         # Fat: factor the left square block, then permute + TRSM the
         # remaining columns (ref _recurse! src/lu.jl:140-146).
-        FL, ipiv, info = blocked_lu(A[:, :m], pivot, config)
+        FL, ipiv, perm, info = blocked_lu(A[:, :m], pivot, config)
         AR = A[:, m:]
         if pivot:
-            AR = jnp.take(AR, ipiv_to_perm(ipiv, m), axis=0)
+            AR = jnp.take(AR, perm, axis=0)
         U1R = solve_unit_lower(FL, AR, config.trsm_block)
-        return jnp.concatenate([FL, U1R], axis=1), ipiv, info
+        return jnp.concatenate([FL, U1R], axis=1), ipiv, perm, info
 
     w = config.resolved_panel_width(m, n, jnp.dtype(A.dtype).itemsize)
     ipiv = jnp.zeros((minmn,), jnp.int32)
+    perm = jnp.arange(m, dtype=jnp.int32)
     info = jnp.int32(0)
 
     s = 0
     while s < n:
         ws = min(w, n - s)
-        mh = m - s  # panel height
-        pf, piv_local, local_info = panel_factor(
+        pf, piv_local, perm_local, local_info = panel_factor(
             A[s:, s : s + ws], pivot, config
         )
-        A = A.at[s:, s : s + ws].set(pf)
         ipiv = ipiv.at[s : s + ws].set(piv_local + s)
         info = _offset_info(info, local_info, s)
 
-        if pivot and (s > 0 or s + ws < n):
-            perm_local = ipiv_to_perm(piv_local, mh)
-            if s > 0:
-                A = A.at[s:, :s].set(jnp.take(A[s:, :s], perm_local, axis=0))
-            if s + ws < n:
-                A = A.at[s:, s + ws :].set(
-                    jnp.take(A[s:, s + ws :], perm_local, axis=0)
-                )
+        if pivot:
+            # One gather applies the panel's composed permutation to all
+            # columns; the panel block is overwritten by pf right after.
+            A = A.at[s:, :].set(jnp.take(A[s:, :], perm_local, axis=0))
+            perm = perm.at[s:].set(jnp.take(perm[s:], perm_local))
+        A = A.at[s:, s : s + ws].set(pf)
+
         if s + ws < n:
             L11_inv = unit_lower_inverse(pf[:ws, :ws])
             U12 = jnp.dot(
@@ -101,4 +104,4 @@ def blocked_lu(
             )
         s += ws
 
-    return A, ipiv, info
+    return A, ipiv, perm, info

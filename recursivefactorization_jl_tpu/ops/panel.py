@@ -47,12 +47,29 @@ def _use_pallas(dtype, config: LUConfig) -> bool:
 
 def panel_factor(
     panel: jax.Array, pivot: bool, config: LUConfig
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Factor a tall panel (m x w). Returns ``(factors, piv_local,
-    info_local)`` with 0-based panel-local pivot rows and 1-based
-    (sign-carrying) panel-local info."""
+    perm_local, info_local)`` with 0-based panel-local pivot rows, the
+    composed panel-local row permutation, and 1-based (sign-carrying)
+    panel-local info.
+
+    Two-level blocking: a panel wider than ``config.inner_panel_width``
+    is itself factored as a blocked schedule over sub-panels, so the
+    sequential VPU-bound pivot chain only runs at the inner width and
+    the rest of the panel's O(m*w^2) work rides the MXU as TRSM/Schur
+    matmuls (the reference's recursion-to-blocksize analog,
+    src/lu.jl:97,184-186)."""
+    m, w = panel.shape
+    inner = config.inner_panel_width
+    if min(m, w) > inner:
+        from .blocked import blocked_lu  # deferred: avoids import cycle
+
+        import dataclasses
+
+        sub = dataclasses.replace(config, panel_width=inner)
+        return blocked_lu(panel, pivot, sub)
     if _use_pallas(panel.dtype, config):
-        return panel_factor_pallas(panel, pivot)
+        return panel_factor_pallas(panel, pivot, micro=config.panel_micro)
     return unblocked_lu(panel, pivot)
 
 
@@ -61,15 +78,52 @@ def panel_factor(
 # ---------------------------------------------------------------------------
 
 
-def _panel_kernel(a_ref, out_ref, piv_ref, info_ref, *, pivot: bool):
-    m, w = a_ref.shape
+def _panel_kernel(
+    a_ref, out_ref, piv_ref, perm_ref, info_ref, *, pivot: bool, micro: int
+):
+    # The panel is factored IN PLACE: the pallas_call aliases the input
+    # with the factors output (input_output_aliases), halving the
+    # kernel's VMEM footprint — the binding constraint on panel width
+    # for tall panels (a 4096x256 f32 panel is 4 MiB; VMEM is ~16 MiB).
+    # a_ref and out_ref are the same buffer on TPU; the copy below is a
+    # self-copy there and the real initialization in interpret mode.
+    #
+    # micro: width of the in-kernel blocking — rank-1 updates are
+    # confined to the current micro-panel, and a delayed rank-`micro`
+    # update (one MXU matmul) hits the trailing columns at each
+    # micro-panel boundary, cutting the VPU work on the serial pivot
+    # chain from O(m*w) to O(m*micro) per step.  micro >= w disables it.
+    _MICRO = micro
+    m, w = out_ref.shape
     minmn = min(m, w)
     out_ref[:, :] = a_ref[:, :]
     info_ref[0] = 0
     rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    # Composed row permutation, maintained alongside the swaps so callers
+    # never recompose it from ipiv (a sequential m-step scalar chain).
+    perm_ref[:, :] = rows
 
     for k in range(minmn):  # static unroll: lane indices stay static
+        p0 = (k // _MICRO) * _MICRO          # current micro-panel start
+        p1 = min(p0 + _MICRO, minmn)         # current micro-panel end
+
+        if k == p0 and k > 0:
+            # Micro-panel boundary: bring columns [p0:w) up to date with
+            # the just-finished block [q0:p0).
+            q0 = p0 - _MICRO
+            # (a) unit-lower TRSM of the U-block rows [q0:p0) x [p0:w)
+            #     as _MICRO sequential row eliminations (tiny VPU work);
+            for i in range(q0, p0 - 1):
+                lcol = out_ref[i + 1 : p0, i].reshape(p0 - i - 1, 1)
+                urow = out_ref[i, p0:].reshape(1, w - p0)
+                out_ref[i + 1 : p0, p0:] -= lcol * urow
+            # (b) rank-_MICRO Schur update of rows [p0:) on the MXU.
+            Lb = out_ref[p0:, q0:p0]           # (m-p0, _MICRO)
+            Ub = out_ref[q0:p0, p0:]           # (_MICRO, w-p0)
+            out_ref[p0:, p0:] -= jnp.dot(
+                Lb, Ub, preferred_element_type=jnp.float32
+            )
+
         colk = out_ref[:, k].reshape(m, 1)
         if pivot:
             abscol = jnp.where(rows >= k, jnp.abs(colk), -jnp.inf)
@@ -91,6 +145,10 @@ def _panel_kernel(a_ref, out_ref, piv_ref, info_ref, *, pivot: bool):
                 rowk = out_ref[k, :].reshape(1, w)
                 out_ref[k, :] = rowkp[0, :]
                 out_ref[pl.ds(kp, 1), :] = rowk
+                permkp = perm_ref[pl.ds(kp, 1), :]
+                permk = perm_ref[k, :].reshape(1, 1)
+                perm_ref[k, :] = permkp[0, :]
+                perm_ref[pl.ds(kp, 1), :] = permk
 
         @pl.when(nonzero)
         def _scale(k=k, pivval=pivval):
@@ -101,34 +159,53 @@ def _panel_kernel(a_ref, out_ref, piv_ref, info_ref, *, pivot: bool):
         def _info(k=k):
             info_ref[0] = (k + 1) if pivot else -(k + 1)
 
-        if k + 1 < w and k + 1 < m:
-            # Rank-1 trailing update on the static subblock (no masking
-            # needed because k is static).
+        if k + 1 < p1 and k + 1 < m:
+            # Rank-1 update confined to the micro-panel columns.
             lcol = out_ref[k + 1 :, k].reshape(m - k - 1, 1)
-            urow = out_ref[k, k + 1 :].reshape(1, w - k - 1)
-            out_ref[k + 1 :, k + 1 :] -= lcol * urow
+            urow = out_ref[k, k + 1 : p1].reshape(1, p1 - k - 1)
+            out_ref[k + 1 :, k + 1 : p1] -= lcol * urow
+
+    # Final catch-up: if w > minmn (fat panel), the last micro block must
+    # still be applied to the trailing columns [minmn:w).
+    if w > minmn:
+        q0 = ((minmn - 1) // _MICRO) * _MICRO
+        for i in range(q0, minmn - 1):
+            lcol = out_ref[i + 1 : minmn, i].reshape(minmn - i - 1, 1)
+            urow = out_ref[i, minmn:].reshape(1, w - minmn)
+            out_ref[i + 1 : minmn, minmn:] -= lcol * urow
+        if minmn < m and q0 < minmn:
+            Lb = out_ref[minmn:, q0:minmn]
+            Ub = out_ref[q0:minmn, minmn:]
+            out_ref[minmn:, minmn:] -= jnp.dot(
+                Lb, Ub, preferred_element_type=jnp.float32
+            )
 
 
-@functools.partial(jax.jit, static_argnames=("pivot", "interpret"))
-def panel_factor_pallas(panel: jax.Array, pivot: bool, interpret=None):
+@functools.partial(jax.jit, static_argnames=("pivot", "interpret", "micro"))
+def panel_factor_pallas(
+    panel: jax.Array, pivot: bool, interpret=None, micro: int = 16
+):
     m, w = panel.shape
     minmn = min(m, w)
     if interpret is None:
         interpret = not is_tpu_backend()
-    kernel = functools.partial(_panel_kernel, pivot=pivot)
-    out, piv, info = pl.pallas_call(
+    kernel = functools.partial(_panel_kernel, pivot=pivot, micro=micro)
+    out, piv, perm, info = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((m, w), panel.dtype),
             jax.ShapeDtypeStruct((minmn,), jnp.int32),
+            jax.ShapeDtypeStruct((m, 1), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        input_output_aliases={0: 0},  # factor the panel in place
         interpret=interpret,
     )(panel)
-    return out, piv, info[0]
+    return out, piv, perm[:, 0], info[0]

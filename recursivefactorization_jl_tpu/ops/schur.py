@@ -11,6 +11,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+# On TPU, f32 matmuls at Precision.DEFAULT run bf16 multiply passes
+# (eps ~ 8e-3): catastrophic for a factorization whose accuracy contract
+# is ~n*eps(f32).  Every full-precision product in the package uses
+# HIGHEST (6-pass f32 emulation on the MXU); the deliberate
+# reduced-precision mode is the explicit 'bf16' schur_precision knob.
+FULL = lax.Precision.HIGHEST
 
 
 def schur_update(
@@ -21,11 +29,16 @@ def schur_update(
 ) -> jax.Array:
     """Return ``C - A @ B`` with the requested MXU compute precision."""
     if precision == "bf16" and A.dtype == jnp.float32:
+        # explicit DEFAULT so the surrounding full_matmul_precision
+        # context doesn't upcast the deliberate single-pass bf16 product
         prod = jnp.dot(
             A.astype(jnp.bfloat16),
             B.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.DEFAULT,
         )
     else:
-        prod = jnp.dot(A, B, preferred_element_type=C.dtype)
+        prod = jnp.dot(
+            A, B, preferred_element_type=C.dtype, precision=FULL
+        )
     return C - prod.astype(C.dtype)

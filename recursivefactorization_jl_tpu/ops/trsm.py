@@ -27,6 +27,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils.config import full_matmul_precision
+from ..utils.perm import vma_zero
+
 _BASE = 32
 
 
@@ -36,7 +39,8 @@ def _unit_lower_inv_base(L: jax.Array) -> jax.Array:
     n = L.shape[0]
     sl = jnp.tril(L, k=-1)
     cols = jnp.arange(n)
-    X0 = jnp.eye(n, dtype=L.dtype)
+    # + vma_zero: carry init must match the body's shard_map varying type
+    X0 = jnp.eye(n, dtype=L.dtype) + vma_zero(L, L.dtype)
 
     def body(k, X):
         lrow = lax.dynamic_slice(sl, (k, 0), (1, n))[0]
@@ -68,6 +72,7 @@ def _upper_inv_base(U: jax.Array) -> jax.Array:
     return lax.fori_loop(0, n - 1, body, X0)
 
 
+@full_matmul_precision
 def unit_lower_inverse(L: jax.Array) -> jax.Array:
     """Inverse of the unit-lower-triangular matrix stored in ``L``'s
     strictly-lower part (diagonal implied 1, as in packed LU factors)."""
@@ -89,6 +94,7 @@ def unit_lower_inverse(L: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bot], axis=0)
 
 
+@full_matmul_precision
 def upper_inverse(U: jax.Array) -> jax.Array:
     """Inverse of the upper-triangular matrix in ``U``'s upper part
     (non-unit diagonal).  inv([[A,B],[0,C]]) = [[iA, -iA B iC],[0, iC]]."""
@@ -126,6 +132,7 @@ def _blocks(n: int, block: int):
     return [(s, min(block, n - s)) for s in starts]
 
 
+@full_matmul_precision
 def solve_unit_lower(L: jax.Array, B: jax.Array, block: int = 128) -> jax.Array:
     """Solve ``tril(L, unit diag) @ X = B`` (left, lower, unit).
 
@@ -153,6 +160,7 @@ def solve_unit_lower(L: jax.Array, B: jax.Array, block: int = 128) -> jax.Array:
     return X
 
 
+@full_matmul_precision
 def solve_lower(L: jax.Array, B: jax.Array, block: int = 128) -> jax.Array:
     """Solve ``tril(L) @ X = B`` (left, lower, non-unit diag)."""
     n = L.shape[0]
@@ -171,6 +179,7 @@ def solve_lower(L: jax.Array, B: jax.Array, block: int = 128) -> jax.Array:
     return X
 
 
+@full_matmul_precision
 def solve_upper(U: jax.Array, B: jax.Array, block: int = 128) -> jax.Array:
     """Solve ``triu(U) @ X = B`` (left, upper, non-unit diag).
 
@@ -192,6 +201,7 @@ def solve_upper(U: jax.Array, B: jax.Array, block: int = 128) -> jax.Array:
     return X
 
 
+@full_matmul_precision
 def solve_unit_upper(U: jax.Array, B: jax.Array, block: int = 128) -> jax.Array:
     """Solve ``triu(U, unit diag) @ X = B`` (left, upper, unit)."""
     n = U.shape[0]

@@ -26,25 +26,41 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils.perm import vma_zero
+
 
 def unblocked_lu(A: jax.Array, pivot: bool):
-    """Factor ``A`` (m x n) unblocked. Returns ``(LU, ipiv, info)``.
+    """Factor ``A`` (m x n) unblocked. Returns ``(LU, ipiv, perm, info)``.
 
     ``LU`` packs unit-lower L (strictly below diag) and U (on/above diag);
-    ``ipiv`` is the 0-based swap sequence of length min(m, n); ``info`` is
-    int32 with the reference's convention.
+    ``ipiv`` is the 0-based swap sequence of length min(m, n); ``perm`` is
+    the composed row-permutation vector (``L @ U == A[perm, :]``), tracked
+    alongside the swaps so callers never pay the sequential
+    ``ipiv_to_perm`` recomposition (an n-step scalar chain — measured
+    ~0.75 ms per 256 steps on TPU, the single largest avoidable cost in
+    the blocked schedule); ``info`` is int32 with the reference's
+    convention.
     """
     m, n = A.shape
     minmn = min(m, n)
     if minmn == 0:
-        return A, jnp.zeros((0,), jnp.int32), jnp.int32(0)
+        return (
+            A,
+            jnp.zeros((0,), jnp.int32),
+            jnp.arange(m, dtype=jnp.int32),
+            jnp.int32(0),
+        )
 
     rows = jnp.arange(m)
     cols = jnp.arange(n)
-    ipiv0 = jnp.arange(minmn, dtype=jnp.int32)
+    # vma_zero: loop-carry inits must match the body's shard_map
+    # varying-axes type (see utils/perm.vma_zero).
+    vz = vma_zero(A)
+    ipiv0 = jnp.arange(minmn, dtype=jnp.int32) + vz
+    perm0 = jnp.arange(m, dtype=jnp.int32) + vz
 
     def body(k, carry):
-        A, ipiv, info = carry
+        A, ipiv, perm, info = carry
         col = lax.dynamic_slice(A, (0, k), (m, 1))[:, 0]
         if pivot:
             abscol = jnp.where(rows >= k, jnp.abs(col), -jnp.inf)
@@ -65,6 +81,12 @@ def unblocked_lu(A: jax.Array, pivot: bool):
         sel_kp = (rows[:, None] == kp) & do_swap
         A = jnp.where(sel_k, rowkp[None, :], A)
         A = jnp.where(sel_kp, rowk[None, :], A)
+        pk, pkp = perm[k], perm[kp]
+        perm = jnp.where(
+            do_swap,
+            perm.at[k].set(pkp).at[kp].set(pk),
+            perm,
+        )
 
         # Scale the pivot column below the diagonal (src/lu.jl:309-312).
         akk_inv = jnp.where(piv_nonzero, 1, 0) / jnp.where(
@@ -82,9 +104,9 @@ def unblocked_lu(A: jax.Array, pivot: bool):
         lcol = jnp.where(rows > k, lax.dynamic_slice(A, (0, k), (m, 1))[:, 0], 0)
         urow = jnp.where(cols > k, lax.dynamic_slice(A, (k, 0), (1, n))[0], 0)
         A = A - lcol[:, None] * urow[None, :]
-        return A, ipiv, info
+        return A, ipiv, perm, info
 
-    A, ipiv, info = lax.fori_loop(
-        0, minmn, body, (A, ipiv0, jnp.int32(0))
+    A, ipiv, perm, info = lax.fori_loop(
+        0, minmn, body, (A, ipiv0, perm0, vz)
     )
-    return A, ipiv, info
+    return A, ipiv, perm, info

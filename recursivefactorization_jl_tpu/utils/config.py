@@ -25,6 +25,7 @@ kernel by default, conservatively):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 LANE = 128           # TPU lane count / MXU dimension
@@ -51,6 +52,18 @@ class LUConfig:
     # Block size for the blocked triangular solves (TRSM) and triangular
     # inversion base case.
     trsm_block: int = 128
+    # Sub-panel width of the two-level panel factorization: a panel wider
+    # than this is itself factored as a blocked schedule (sub-panel Pallas
+    # kernel + MXU TRSM/Schur within the panel), so the statically
+    # unrolled, VPU-bound pivot chain only ever runs at this width.  The
+    # reference's analog is the recursion bottoming out at `blocksize`
+    # (src/lu.jl:97,184).
+    inner_panel_width: int = 64
+    # Micro-panel width inside the Pallas panel kernel (rank-1 updates are
+    # confined to this width; a delayed rank-`panel_micro` MXU update runs
+    # at each boundary).  >= panel width disables in-kernel blocking.
+    # 32 measured best on v5e at n=2048 (16/32/64 within ~5%).
+    panel_micro: int = 32
 
     def resolved_panel_width(self, m: int, n: int, itemsize: int) -> int:
         if self.panel_width is not None:
@@ -58,15 +71,40 @@ class LUConfig:
         # Mirror the spirit of the reference's size-adaptive blocksize
         # (src/lu.jl:97): smaller panels for huge matrices keep the tall
         # panel within VMEM; larger panels amortize per-panel latency.
-        # A full m x w f32 panel must fit in VMEM alongside scratch.
+        # Kernel VMEM footprint: measured scoped-vmem usage on v5e is
+        # ~5.5-6x the raw panel bytes (input + output staging inside
+        # Mosaic, the lane-padded (m, 128) int32 perm vector, and
+        # compiler scratch) — a 3072x256 f32 panel allocates 17.4 MiB.
+        # Budget accordingly.
         w = 256 if min(m, n) >= 1024 else 128
-        while m * w * itemsize > VMEM_BUDGET_BYTES // 2 and w > LANE:
+        while 6 * m * w * itemsize > VMEM_BUDGET_BYTES and w > LANE // 2:
             w //= 2
         return max(w, 32)
 
 
 def default_config() -> LUConfig:
     return LUConfig()
+
+
+def full_matmul_precision(fn):
+    """Trace ``fn`` under ``jax.default_matmul_precision('highest')``.
+
+    On TPU, f32 matmuls at DEFAULT precision run bf16 multiply passes
+    (eps ~ 8e-3) — catastrophic for a factorization whose accuracy
+    contract is ~n*eps(f32) (the reference's residual gate,
+    test/runtests.jl:17-18).  HIGHEST uses 6-pass f32 emulation on the
+    MXU.  The deliberate reduced-precision path is the explicit
+    ``schur_precision='bf16'`` knob (ops/schur.py), which bypasses this
+    via explicit bf16 operands.
+    """
+    import jax
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def is_tpu_backend() -> bool:

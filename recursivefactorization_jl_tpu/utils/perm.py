@@ -19,6 +19,27 @@ import jax
 import jax.numpy as jnp
 
 
+def vma_zero(x: jax.Array, dtype=jnp.int32) -> jax.Array:
+    """A scalar zero that inherits ``x``'s shard_map varying-manual-axes
+    (VMA) type.
+
+    Inside ``shard_map``, ``lax.fori_loop``/``scan`` carries must have the
+    same VMA type on input and output; a literal ``jnp.zeros`` init is
+    "replicated" while a body that touches per-device data produces
+    "varying", which JAX >= 0.9 rejects.  Deriving the zero from the data
+    itself makes the init varying exactly when the data is.  NaN/Inf-safe
+    (uses a comparison, not arithmetic, so no NaN propagation).
+    """
+    if x.size == 0:
+        return jnp.zeros((), dtype)
+    v = x.ravel()[0]
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        v = jnp.real(v)
+    if jnp.issubdtype(v.dtype, jnp.floating):
+        return jnp.where(v == v, 0, 0).astype(dtype)
+    return (v * 0).astype(dtype)
+
+
 def ipiv_to_perm(ipiv: jax.Array, m: int) -> jax.Array:
     """Fold the swap sequence ``ipiv`` into a permutation vector ``p`` of
     length ``m`` such that ``A[p, :]`` equals the result of applying the row
@@ -28,7 +49,7 @@ def ipiv_to_perm(ipiv: jax.Array, m: int) -> jax.Array:
     """
     ipiv = jnp.asarray(ipiv, dtype=jnp.int32)
     k = ipiv.shape[0]
-    perm = jnp.arange(m, dtype=jnp.int32)
+    perm = jnp.arange(m, dtype=jnp.int32) + vma_zero(ipiv)
 
     def body(i, perm):
         j = ipiv[i]

@@ -1,0 +1,86 @@
+"""Profiling / tracing hooks.
+
+The reference has no in-package instrumentation beyond `@info` progress
+lines and its BenchmarkTools harness (SURVEY.md §5; reference
+perf/lu.jl:1-5).  The TPU-native equivalents:
+
+* :func:`trace` — context manager around ``jax.profiler`` emitting a
+  TensorBoard-loadable trace of every XLA/Pallas op;
+* :func:`timed` — wall-clock timing helper that is honest about XLA's
+  async dispatch (blocks on the result);
+* :func:`marginal_time` — the loop-in-jit differential timing used by
+  ``bench.py``/``perf/sweep.py``: runs K data-dependent iterations
+  inside one jit and differences two K values, cancelling fixed
+  dispatch/sync overhead (required on hosts that reach the TPU through
+  a relay, where per-invocation overhead is ~200 ms).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import numpy as np
+
+import jax
+from jax import lax
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/rf_tpu_trace"):
+    """``with trace(): ...`` writes a profiler trace viewable in
+    TensorBoard / Perfetto."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def timed(fn: Callable, *args, reps: int = 3):
+    """Best-of-``reps`` wall time of ``fn(*args)``, blocking on the
+    result. Returns ``(best_seconds, last_result)``."""
+    result = fn(*args)
+    jax.block_until_ready(result)  # warmup/compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        result = fn(*args)
+        jax.block_until_ready(result)
+        best = min(best, time.perf_counter() - t0)
+    return best, result
+
+
+def marginal_time(
+    fn: Callable, x, k1: int = 3, k2: int = 13, reps: int = 4
+) -> float:
+    """Differential in-jit loop timing of ``fn(x) -> array``.
+
+    ``fn`` must return an array whose [0, 0] element depends on the
+    computation; the loop carry multiplies ``x`` by (1 + 1e-24 * out[0,0]),
+    numerically a no-op in f32 but a data dependence XLA cannot fold.
+    """
+
+    def looped(K):
+        @jax.jit
+        def run():
+            def body(i, a):
+                out = fn(a)
+                return a * (1.0 + 1e-24 * out.ravel()[0])
+
+            return lax.fori_loop(0, K, body, x).ravel()[0]
+
+        return run
+
+    ts = []
+    for K in (k1, k2):
+        run = looped(K)
+        np.asarray(run())  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(run())
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
+    return (ts[1] - ts[0]) / (k2 - k1)

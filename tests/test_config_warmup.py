@@ -1,0 +1,56 @@
+"""Config, warmup, and precision-mode tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+import recursivefactorization_jl_tpu as rf
+from recursivefactorization_jl_tpu.models.lu import normalize_pivot
+from recursivefactorization_jl_tpu.utils.config import LUConfig
+from recursivefactorization_jl_tpu.utils.warmup import warmup
+
+import pytest
+
+RNG = np.random.RandomState(9)
+
+
+def test_normalize_pivot():
+    assert normalize_pivot(True) is True
+    assert normalize_pivot(False) is False
+    assert normalize_pivot(None) is False
+    assert normalize_pivot("partial") is True
+    assert normalize_pivot("RowMaximum") is True
+    assert normalize_pivot("NoPivot") is False
+    assert normalize_pivot("none") is False
+    with pytest.raises(ValueError):
+        normalize_pivot("bogus")
+
+
+def test_resolved_panel_width_vmem_bound():
+    cfg = LUConfig()
+    # explicit width wins
+    assert LUConfig(panel_width=64).resolved_panel_width(4096, 4096, 4) == 64
+    # huge m shrinks the panel to fit VMEM (2*m*w*4 + m*512 <= budget)
+    w_small = cfg.resolved_panel_width(512, 512, 4)
+    w_huge = cfg.resolved_panel_width(65536, 65536, 4)
+    assert w_huge < w_small
+    assert w_huge >= 32
+
+
+def test_bf16_schur_mode():
+    """schur_precision='bf16' stays within a bf16-appropriate residual."""
+    n = 160
+    A = RNG.rand(n, n).astype(np.float32)
+    cfg = LUConfig(
+        panel_width=32, small_threshold=0, schur_precision="bf16"
+    )
+    F = rf.lu(jnp.asarray(A), True, config=cfg)
+    L = np.tril(np.asarray(F.factors), -1) + np.eye(n)
+    U = np.triu(np.asarray(F.factors))
+    resid = np.max(np.abs(L @ U - A[np.asarray(F.p), :]))
+    # bf16 products: eps ~ 2^-8 per product term, f32 accumulate
+    assert resid < n * 2.0 ** -8, resid
+
+
+def test_warmup_runs():
+    warmup(shapes=((16, 16), (8, 12)), dtypes=(jnp.float32,))

@@ -1,0 +1,132 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest forces
+JAX_PLATFORMS=cpu with xla_force_host_platform_device_count=8):
+
+* data-parallel batched LU/solve sharded over the batch;
+* tensor-parallel block-cyclic LU (shard_map + psum panel broadcast)
+  against the single-device factorization — bitwise-identical pivots
+  and info, residual at LAPACK level.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+import recursivefactorization_jl_tpu as rf
+from recursivefactorization_jl_tpu.parallel import (
+    batched_lu_factor,
+    batched_lu_solve,
+    sharded_batched_lu_factor,
+    sharded_batched_lu_solve,
+    tp_lu_factor,
+)
+from helpers import lu_residual
+
+RNG = np.random.RandomState(3)
+
+
+def mesh_1d(name="tp", ndev=None):
+    devs = jax.devices()
+    n = ndev or len(devs)
+    return Mesh(np.array(devs[:n]), (name,))
+
+
+def test_batched_lu_matches_loop():
+    B, n = 6, 16
+    A = RNG.rand(B, n, n)
+    f, ipiv, info = jax.device_get(batched_lu_factor(jnp.asarray(A)))
+    for i in range(B):
+        Fi = rf.lu(jnp.asarray(A[i]))
+        np.testing.assert_allclose(
+            f[i], np.asarray(Fi.factors), atol=1e-12
+        )
+        np.testing.assert_array_equal(ipiv[i], np.asarray(Fi.ipiv))
+    assert np.all(info == 0)
+
+
+def test_batched_solve():
+    B, n = 5, 12
+    A = RNG.rand(B, n, n) + n * np.eye(n)
+    b = RNG.rand(B, n)
+    f, ipiv, info = batched_lu_factor(jnp.asarray(A))
+    x = np.asarray(batched_lu_solve(f, ipiv, jnp.asarray(b)))
+    np.testing.assert_allclose(
+        np.einsum("bij,bj->bi", A, x), b, atol=1e-9
+    )
+
+
+def test_sharded_batched_dp():
+    mesh = mesh_1d("dp")
+    D = mesh.shape["dp"]
+    B, n = 2 * D, 10
+    A = RNG.rand(B, n, n) + n * np.eye(n)
+    b = RNG.rand(B, n)
+    f, ipiv, info = sharded_batched_lu_factor(
+        jnp.asarray(A), mesh, "dp"
+    )
+    assert np.all(np.asarray(info) == 0)
+    x = np.asarray(
+        sharded_batched_lu_solve(f, ipiv, jnp.asarray(b), mesh, "dp")
+    )
+    np.testing.assert_allclose(
+        np.einsum("bij,bj->bi", A, x), b, atol=1e-9
+    )
+    # sharded result == unsharded result (bitwise: same program per shard)
+    f0, ipiv0, _ = batched_lu_factor(jnp.asarray(A))
+    np.testing.assert_array_equal(np.asarray(ipiv), np.asarray(ipiv0))
+    np.testing.assert_allclose(
+        np.asarray(f), np.asarray(f0), atol=1e-13
+    )
+
+
+@pytest.mark.parametrize("pivot", [True, False])
+def test_tp_lu_matches_single_device(pivot):
+    mesh = mesh_1d("tp", 4)
+    w = 8
+    n = 4 * w * 2  # 2 cyclic blocks per device
+    A = RNG.rand(n, n) + (0 if pivot else n * np.eye(n))
+    F, ipiv, info = tp_lu_factor(
+        jnp.asarray(A), mesh, "tp", panel_width=w, pivot=pivot
+    )
+    assert int(info) == 0
+    resid = lu_residual(
+        A, F, ipiv if pivot else jnp.arange(n, dtype=jnp.int32)
+    )
+    eps = np.finfo(np.float64).eps
+    assert resid < (20 * n * eps if pivot else 10 * np.sqrt(20 * n * eps))
+    # pivots identical to the single-device blocked path
+    cfg = rf.LUConfig(panel_width=w, small_threshold=0)
+    F1, ipiv1, info1 = rf.lu_factor(jnp.asarray(A), pivot, config=cfg)
+    np.testing.assert_array_equal(np.asarray(ipiv), np.asarray(ipiv1))
+    assert int(info) == int(info1)
+    np.testing.assert_allclose(
+        np.asarray(F), np.asarray(F1), atol=1e-11
+    )
+
+
+def test_tp_lu_padding():
+    """n not divisible by D*w -> internal identity padding must be
+    invisible in the result."""
+    mesh = mesh_1d("tp", 4)
+    w = 8
+    n = 50  # pads to 64
+    A = RNG.rand(n, n)
+    F, ipiv, info = tp_lu_factor(jnp.asarray(A), mesh, "tp", panel_width=w)
+    assert int(info) == 0
+    resid = lu_residual(A, F, ipiv)
+    assert resid < 20 * n * np.finfo(np.float64).eps
+
+
+def test_tp_lu_singular_info():
+    mesh = mesh_1d("tp", 2)
+    w = 8
+    n = 32
+    A = RNG.rand(n, n)
+    A[:, 13] = 0.0
+    F, ipiv, info = tp_lu_factor(jnp.asarray(A), mesh, "tp", panel_width=w)
+    F1, ipiv1, info1 = rf.lu_factor(
+        jnp.asarray(A), config=rf.LUConfig(panel_width=w, small_threshold=0)
+    )
+    assert int(info) == int(info1) != 0

@@ -25,7 +25,12 @@ def test_unit_lower_inverse():
     for n in [1, 2, 7, 64, 130]:
         L = np.tril(RNG.uniform(-1, 1, (n, n)), -1) + np.eye(n)
         inv = np.asarray(j_ulinv(jnp.asarray(L)))
-        np.testing.assert_allclose(inv @ L, np.eye(n), atol=1e-10)
+        # growth-aware bound: ||inv@L - I|| <~ n*eps*||inv||*||L||
+        eps = np.finfo(np.float64).eps
+        tol = 50 * n * eps * max(
+            np.linalg.norm(inv, np.inf) * np.linalg.norm(L, np.inf), 1.0
+        )
+        np.testing.assert_allclose(inv @ L, np.eye(n), atol=tol)
 
 
 def test_upper_inverse():
@@ -37,21 +42,29 @@ def test_upper_inverse():
         np.testing.assert_allclose(inv @ U, np.eye(n), atol=1e-9)
 
 
+def _solve_tol(T, X, n):
+    # growth-aware: ||T@X - B|| <~ n*eps*||T||*||X||
+    eps = np.finfo(np.float64).eps
+    return 50 * n * eps * max(
+        np.linalg.norm(T, np.inf) * np.linalg.norm(X, np.inf), 1.0
+    )
+
+
 def test_blocked_solves():
     n, k = 300, 5
     B = RNG.rand(n, k)
     L = np.tril(RNG.uniform(-1, 1, (n, n)), -1) + np.eye(n)
     X = np.asarray(j_slower(jnp.asarray(L), jnp.asarray(B)))
-    np.testing.assert_allclose(L @ X, B, atol=1e-9)
+    np.testing.assert_allclose(L @ X, B, atol=_solve_tol(L, X, n))
 
     U = np.triu(RNG.uniform(-1, 1, (n, n)), 1) + np.diag(
         RNG.uniform(0.5, 2.0, n)
     )
     X = np.asarray(j_supper(jnp.asarray(U), jnp.asarray(B)))
-    np.testing.assert_allclose(U @ X, B, atol=1e-8)
+    np.testing.assert_allclose(U @ X, B, atol=_solve_tol(U, X, n))
 
     X = np.asarray(j_slower_nu(jnp.asarray(U.T.copy()), jnp.asarray(B)))
-    np.testing.assert_allclose(U.T @ X, B, atol=1e-8)
+    np.testing.assert_allclose(U.T @ X, B, atol=_solve_tol(U, X, n))
 
     X = np.asarray(j_supper_u(jnp.asarray(L.T.copy()), jnp.asarray(B)))
-    np.testing.assert_allclose(L.T @ X, B, atol=1e-9)
+    np.testing.assert_allclose(L.T @ X, B, atol=_solve_tol(L, X, n))
