@@ -81,10 +81,29 @@ def blocked_lu(
         info = _offset_info(info, local_info, s)
 
         if pivot:
-            # One gather applies the panel's composed permutation to all
-            # columns; the panel block is overwritten by pf right after.
-            A = A.at[s:, :].set(jnp.take(A[s:, :], perm_local, axis=0))
-            perm = perm.at[s:].set(jnp.take(perm[s:], perm_local))
+            mh = m - s
+            itemsize = jnp.dtype(A.dtype).itemsize
+            if mh * n * itemsize > 32 * 1024 * 1024:
+                # Sparse laswp: a composition of ws row swaps moves at
+                # most 2*ws rows — gather+scatter only those instead of
+                # the full (m-s) x n trailing block (full gathers are
+                # O(n^3/w) traffic across panels; measured 3 ms of the
+                # n=4096 factorization).  fill_value=0 padding is
+                # harmless: every padded entry writes row perm[0]'s
+                # correct value to row 0.
+                (aff,) = jnp.nonzero(
+                    perm_local != jnp.arange(mh, dtype=perm_local.dtype),
+                    size=min(2 * ws, mh),
+                    fill_value=0,
+                )
+                src = perm_local[aff]
+                A = A.at[s + aff, :].set(A[s + src, :])
+                perm = perm.at[s + aff].set(perm[s + src])
+            else:
+                # Small trailing block: one dense row gather beats the
+                # scatter's fixed overhead.
+                A = A.at[s:, :].set(jnp.take(A[s:, :], perm_local, axis=0))
+                perm = perm.at[s:].set(jnp.take(perm[s:], perm_local))
         A = A.at[s:, s : s + ws].set(pf)
 
         if s + ws < n:

@@ -69,7 +69,12 @@ def panel_factor(
         sub = dataclasses.replace(config, panel_width=inner)
         return blocked_lu(panel, pivot, sub)
     if _use_pallas(panel.dtype, config):
-        return panel_factor_pallas(panel, pivot, micro=config.panel_micro)
+        return panel_factor_pallas(
+            panel,
+            pivot,
+            micro=config.panel_micro,
+            variant=config.panel_variant,
+        )
     return unblocked_lu(panel, pivot)
 
 
@@ -181,15 +186,171 @@ def _panel_kernel(
             )
 
 
-@functools.partial(jax.jit, static_argnames=("pivot", "interpret", "micro"))
+def _panel_kernel_shadow(
+    a_ref,
+    out_ref,
+    piv_ref,
+    perm_ref,
+    info_ref,
+    sh_ref,
+    *,
+    pivot: bool,
+    micro: int,
+):
+    """Shadow-transposed panel kernel.
+
+    Same algorithm as :func:`_panel_kernel`, but the CURRENT micro-panel
+    lives transposed in a (micro, m) VMEM scratch (``sh_ref``): logical
+    column p0+r of the panel is shadow ROW r.  On TPU a column is laid
+    out (m, 1) — ONE lane of 128 — so every per-step op of the serial
+    pivot chain (abs/mask, max-reduce, index-reduce, scale) wastes 99%
+    of the VPU; as shadow rows they are (1, m) — fully lane-parallel.
+    Row swaps still hit ``out_ref`` (dynamic sublane indexing, which
+    Mosaic supports) while the shadow swaps lanes with masked selects
+    (dynamic *lane* indexing is not supported, but masks are cheap at
+    (micro, m)).  The micro block transposes back into ``out_ref`` at
+    each boundary, where the delayed TRSM + rank-micro MXU Schur update
+    brings the trailing columns up to date.
+    """
+    m, w = out_ref.shape
+    minmn = min(m, w)
+    out_ref[:, :] = a_ref[:, :]
+    info_ref[0] = 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    perm_ref[:, :] = rows
+
+    def writeback(q0, q1):
+        out_ref[:, q0:q1] = jnp.transpose(sh_ref[: q1 - q0, :])
+
+    def load_shadow(q0, q1):
+        sh_ref[: q1 - q0, :] = jnp.transpose(out_ref[:, q0:q1])
+
+    def boundary_update(q0, p0):
+        # (a) unit-lower TRSM of U-block rows [q0:p0) x cols [p0:w)
+        for i in range(q0, p0 - 1):
+            lcol = out_ref[i + 1 : p0, i].reshape(p0 - i - 1, 1)
+            urow = out_ref[i, p0:].reshape(1, w - p0)
+            out_ref[i + 1 : p0, p0:] -= lcol * urow
+        # (b) rank-(p0-q0) Schur update of rows [p0:) on the MXU
+        Lb = out_ref[p0:, q0:p0]
+        Ub = out_ref[q0:p0, p0:]
+        out_ref[p0:, p0:] -= jnp.dot(Lb, Ub, preferred_element_type=jnp.float32)
+
+    for k in range(minmn):
+        p0 = (k // micro) * micro
+        p1 = min(p0 + micro, minmn)
+        r = k - p0
+
+        if k == p0:
+            if k > 0:
+                writeback(p0 - micro, p0)
+                boundary_update(p0 - micro, p0)
+            load_shadow(p0, p1)
+
+        rowr = sh_ref[r, :].reshape(1, m)  # logical column k, lane-major
+        if pivot:
+            absrow = jnp.where(lanes >= k, jnp.abs(rowr), -jnp.inf)
+            maxv = jnp.max(absrow)
+            kp = jnp.min(jnp.where(absrow == maxv, lanes, m))
+            kp = jnp.minimum(kp, m - 1).astype(jnp.int32)
+        else:
+            kp = jnp.int32(k)
+        piv_ref[k] = kp
+
+        # value at lane kp of shadow row r (dynamic-lane read via reduce)
+        pivval = jnp.sum(jnp.where(lanes == kp, rowr, 0.0))
+        nonzero = pivval != 0.0
+
+        if pivot:
+
+            @pl.when(nonzero & (kp != k))
+            def _swap(k=k, kp=kp, p0=p0, p1=p1):
+                # out_ref: full-width row swap (micro cols are stale but
+                # swap-consistent; the shadow writeback overwrites them)
+                rowkp = out_ref[pl.ds(kp, 1), :]
+                rowk = out_ref[k, :].reshape(1, w)
+                out_ref[k, :] = rowkp[0, :]
+                out_ref[pl.ds(kp, 1), :] = rowk
+                permkp = perm_ref[pl.ds(kp, 1), :]
+                permk = perm_ref[k, :].reshape(1, 1)
+                perm_ref[k, :] = permkp[0, :]
+                perm_ref[pl.ds(kp, 1), :] = permk
+                # shadow: swap lanes k <-> kp with masked selects
+                nb = p1 - p0
+                sh = sh_ref[:nb, :]
+                colk = sh[:, k].reshape(nb, 1)
+                colkp = jnp.sum(
+                    jnp.where(lanes[:, :] == kp, sh, 0.0),
+                    axis=1,
+                    keepdims=True,
+                )
+                sh = jnp.where(lanes == kp, colk, sh)
+                sh_ref[:nb, :] = sh
+                sh_ref[:nb, k] = colkp[:, 0]
+
+        @pl.when(nonzero)
+        def _scale(k=k, r=r, pivval=pivval):
+            rr = sh_ref[r, :].reshape(1, m)
+            sh_ref[r, :] = jnp.where(lanes > k, rr * (1.0 / pivval), rr)[
+                0, :
+            ]
+
+        @pl.when(jnp.logical_not(nonzero) & (info_ref[0] == 0))
+        def _info(k=k):
+            info_ref[0] = (k + 1) if pivot else -(k + 1)
+
+        if r + 1 < p1 - p0:
+            # rank-1 update of the remaining micro-panel columns
+            # (shadow rows r+1..): sh[j, :] -= u_j * masked L-row
+            nrem = (p1 - p0) - (r + 1)
+            lrow = jnp.where(
+                lanes > k, sh_ref[r, :].reshape(1, m), 0.0
+            )
+            u = sh_ref[r + 1 : p1 - p0, k].reshape(nrem, 1)
+            sh_ref[r + 1 : p1 - p0, :] -= u * lrow
+
+    # write back the final micro block
+    lastq0 = ((minmn - 1) // micro) * micro
+    writeback(lastq0, minmn)
+
+    # fat panel: bring trailing columns [minmn:w) up to date with the
+    # last block
+    if w > minmn:
+        for i in range(lastq0, minmn - 1):
+            lcol = out_ref[i + 1 : minmn, i].reshape(minmn - i - 1, 1)
+            urow = out_ref[i, minmn:].reshape(1, w - minmn)
+            out_ref[i + 1 : minmn, minmn:] -= lcol * urow
+        if minmn < m and lastq0 < minmn:
+            Lb = out_ref[minmn:, lastq0:minmn]
+            Ub = out_ref[lastq0:minmn, minmn:]
+            out_ref[minmn:, minmn:] -= jnp.dot(
+                Lb, Ub, preferred_element_type=jnp.float32
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pivot", "interpret", "micro", "variant")
+)
 def panel_factor_pallas(
-    panel: jax.Array, pivot: bool, interpret=None, micro: int = 16
+    panel: jax.Array,
+    pivot: bool,
+    interpret=None,
+    micro: int = 16,
+    variant: str = "shadow",
 ):
     m, w = panel.shape
     minmn = min(m, w)
     if interpret is None:
         interpret = not is_tpu_backend()
-    kernel = functools.partial(_panel_kernel, pivot=pivot, micro=micro)
+    if variant == "shadow":
+        kernel = functools.partial(
+            _panel_kernel_shadow, pivot=pivot, micro=micro
+        )
+        scratch = [pltpu.VMEM((micro, m), panel.dtype)]
+    else:
+        kernel = functools.partial(_panel_kernel, pivot=pivot, micro=micro)
+        scratch = []
     out, piv, perm, info = pl.pallas_call(
         kernel,
         out_shape=(
@@ -205,6 +366,7 @@ def panel_factor_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        scratch_shapes=scratch,
         input_output_aliases={0: 0},  # factor the panel in place
         interpret=interpret,
     )(panel)

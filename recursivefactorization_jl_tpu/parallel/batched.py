@@ -66,7 +66,8 @@ def batched_lu_factor(
     config = config or default_config()
     B, m, n = A.shape
     if _use_batched_pallas(A.dtype, min(m, n), config):
-        return batched_lu_pallas(A, pivot)
+        f, ipiv, _perm, info = batched_lu_pallas(A, pivot)
+        return f, ipiv, info
     f, ipiv, _perm, info = jax.vmap(lambda a: unblocked_lu(a, pivot))(A)
     return f, ipiv, info
 

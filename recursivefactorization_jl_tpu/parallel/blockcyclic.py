@@ -92,9 +92,15 @@ def _tp_lu_kernel(
         info = _offset_info(info, linfo, s)
         # --- local laswp: permute rows s: of ALL local columns -----------
         if pivot:
-            A_loc = A_loc.at[s:, :].set(
-                jnp.take(A_loc[s:, :], perm_l, axis=0)
+            # sparse form: w swaps move at most 2w rows (see
+            # ops/blocked.py) — gather+scatter only those.
+            (aff,) = jnp.nonzero(
+                perm_l != jnp.arange(n - s, dtype=perm_l.dtype),
+                size=min(2 * w, n - s),
+                fill_value=0,
             )
+            src = perm_l[aff]
+            A_loc = A_loc.at[s + aff, :].set(A_loc[s + src, :])
         # --- owner stores the factored panel -----------------------------
         stored = A_loc.at[s:, q * w : (q + 1) * w].set(pf)
         A_loc = jnp.where(me == o, stored, A_loc)

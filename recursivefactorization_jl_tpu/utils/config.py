@@ -64,6 +64,11 @@ class LUConfig:
     # at each boundary).  >= panel width disables in-kernel blocking.
     # 32 measured best on v5e at n=2048 (16/32/64 within ~5%).
     panel_micro: int = 32
+    # Panel kernel variant: 'shadow' keeps the current micro-panel
+    # transposed in VMEM so the serial pivot chain's per-step ops are
+    # lane-parallel (see ops/panel.py); 'basic' is the column-layout
+    # kernel.
+    panel_variant: str = "shadow"
 
     def resolved_panel_width(self, m: int, n: int, itemsize: int) -> int:
         if self.panel_width is not None:

@@ -19,16 +19,19 @@ from recursivefactorization_jl_tpu.ops.unblocked import unblocked_lu
 RNG = np.random.RandomState(5)
 
 
+@pytest.mark.parametrize("variant", ["basic", "shadow"])
 @pytest.mark.parametrize("pivot", [True, False])
-@pytest.mark.parametrize("shape", [(16, 8), (32, 32), (17, 16)])
-def test_panel_kernel_matches_unblocked(pivot, shape):
+@pytest.mark.parametrize("shape", [(16, 8), (32, 32), (17, 16), (40, 33)])
+def test_panel_kernel_matches_unblocked(pivot, shape, variant):
     Anp = RNG.rand(*shape)
     if not pivot:
         # keep unpivoted growth bounded so the element-wise comparison
         # against the differently-associated oracle stays meaningful
         Anp = Anp + max(shape) * np.eye(*shape)
     A = jnp.asarray(Anp, dtype=jnp.float32)
-    f_k, piv_k, perm_k, info_k = panel_factor_pallas(A, pivot, interpret=True)
+    f_k, piv_k, perm_k, info_k = panel_factor_pallas(
+        A, pivot, interpret=True, variant=variant
+    )
     f_o, piv_o, perm_o, info_o = unblocked_lu(A, pivot)
     np.testing.assert_array_equal(np.asarray(piv_k), np.asarray(piv_o))
     np.testing.assert_array_equal(np.asarray(perm_k), np.asarray(perm_o))
@@ -54,15 +57,33 @@ def test_panel_kernel_zero_pivot(pivot):
 
 @pytest.mark.parametrize("pivot", [True, False])
 def test_batched_kernel_matches_unblocked(pivot):
-    B, m, n = 4, 16, 16
+    B, m, n = 11, 16, 16  # non-multiple of group -> exercises padding
     A = jnp.asarray(RNG.rand(B, m, n), dtype=jnp.float32)
-    f_k, piv_k, info_k = batched_lu_pallas(A, pivot, interpret=True)
+    f_k, piv_k, perm_k, info_k = batched_lu_pallas(
+        A, pivot, interpret=True, group=4
+    )
+    assert f_k.shape == (B, m, n) and piv_k.shape == (B, 16)
     for i in range(B):
         f_o, piv_o, perm_o, info_o = unblocked_lu(A[i], pivot)
         np.testing.assert_array_equal(
             np.asarray(piv_k[i]), np.asarray(piv_o)
         )
+        np.testing.assert_array_equal(
+            np.asarray(perm_k[i]), np.asarray(perm_o)
+        )
         np.testing.assert_allclose(
             np.asarray(f_k[i]), np.asarray(f_o), atol=2e-5
         )
+        assert int(info_k[i]) == int(info_o)
+
+
+def test_batched_kernel_zero_pivot():
+    B, m, n = 4, 12, 12
+    A = RNG.rand(B, m, n).astype(np.float32)
+    A[2, :, 5] = 0.0  # matrix 2 singular at column 5
+    f_k, piv_k, perm_k, info_k = batched_lu_pallas(
+        jnp.asarray(A), True, interpret=True, group=4
+    )
+    for i in range(B):
+        _, _, _, info_o = unblocked_lu(jnp.asarray(A[i]), True)
         assert int(info_k[i]) == int(info_o)
