@@ -33,7 +33,9 @@ from .models.lu import (
     LU,
     lu,
     lu_factor,
+    lu_factor_p,
     lu_inplace,
+    normalize_pivot,
     SingularMatrixError,
 )
 from .models.solve import lu_solve, ldiv
@@ -63,7 +65,9 @@ __all__ = [
     "LU",
     "lu",
     "lu_factor",
+    "lu_factor_p",
     "lu_inplace",
+    "normalize_pivot",
     "lu_solve",
     "ldiv",
     "SingularMatrixError",

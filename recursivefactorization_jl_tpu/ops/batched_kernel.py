@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import is_tpu_backend
 
-GROUP = 8   # matrices per grid cell (VMEM: G*m*n*4 = 256 KiB at 64x64)
+GROUP = 32  # matrices per grid cell (measured best of 8/16/32 on v5e at 64x64)
 
 
 def _batched_group_kernel(a_ref, out_ref, piv_ref, perm_ref, info_ref, *, pivot: bool):
@@ -49,8 +49,12 @@ def _batched_group_kernel(a_ref, out_ref, piv_ref, perm_ref, info_ref, *, pivot:
     out_ref[:, :, :] = a_ref[:, :, :]
     rowi = jax.lax.broadcasted_iota(jnp.int32, (G, m), 1)          # row ids
     rowi3 = jax.lax.broadcasted_iota(jnp.int32, (G, m, 1), 1)
-    info = jnp.zeros((G,), jnp.int32)
-    perm = jax.lax.broadcasted_iota(jnp.int32, (G, m), 1)
+    # perm and info live in their output refs, not SSA carries: a value
+    # carried across the full static unroll trips a Mosaic compiler
+    # assert ("limits[i] <= dim(i)") for G > 8 — ref round-trips keep
+    # live ranges per-step.
+    perm_ref[0, :, :] = rowi
+    info_ref[0, 0, :] = jnp.zeros((G,), jnp.int32)
 
     # NB: Mosaic only supports inserting minor dims on 32-bit types, so
     # every rank-expanded mask below is built by reshaping an int32/f32
@@ -93,12 +97,14 @@ def _batched_group_kernel(a_ref, out_ref, piv_ref, perm_ref, info_ref, *, pivot:
             out_ref[:, :, :] = blk
             # permutation bookkeeping, same selects on (G, m)
             do_swap2 = nonzero2 & (kp2 != k)
+            perm = perm_ref[0, :, :]
             pk2 = perm[:, k:k + 1]                                 # (G, 1)
             pkp2 = jnp.sum(
                 jnp.where(is_kp2, perm, 0), axis=1, keepdims=True
             )
             perm = jnp.where((rowi == k) & do_swap2, pkp2, perm)
             perm = jnp.where(is_kp2 & do_swap2, pk2, perm)
+            perm_ref[0, :, :] = perm
             colk = out_ref[:, :, k]
 
         # scale the pivot column below the diagonal (skip if zero pivot)
@@ -109,7 +115,8 @@ def _batched_group_kernel(a_ref, out_ref, piv_ref, perm_ref, info_ref, *, pivot:
         out_ref[:, :, k] = scaled
 
         nonzero1 = pivval2[:, 0] != 0.0                            # (G,)
-        info = jnp.where(
+        info = info_ref[0, 0, :]
+        info_ref[0, 0, :] = jnp.where(
             (~nonzero1) & (info == 0),
             jnp.int32(k + 1) if pivot else jnp.int32(-(k + 1)),
             info,
@@ -122,8 +129,6 @@ def _batched_group_kernel(a_ref, out_ref, piv_ref, perm_ref, info_ref, *, pivot:
                 lcol[:, :, None] * urow[:, None, :]
             )
 
-    perm_ref[0, :, :] = perm
-    info_ref[0, 0, :] = info
 
 
 @functools.partial(jax.jit, static_argnames=("pivot", "interpret", "group"))

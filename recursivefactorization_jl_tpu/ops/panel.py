@@ -347,10 +347,10 @@ def panel_factor_pallas(
         kernel = functools.partial(
             _panel_kernel_shadow, pivot=pivot, micro=micro
         )
-        scratch = [pltpu.VMEM((micro, m), panel.dtype)]
+        extra = {"scratch_shapes": [pltpu.VMEM((micro, m), panel.dtype)]}
     else:
         kernel = functools.partial(_panel_kernel, pivot=pivot, micro=micro)
-        scratch = []
+        extra = {}
     out, piv, perm, info = pl.pallas_call(
         kernel,
         out_shape=(
@@ -366,8 +366,8 @@ def panel_factor_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        scratch_shapes=scratch,
         input_output_aliases={0: 0},  # factor the panel in place
         interpret=interpret,
+        **extra,
     )(panel)
     return out, piv, perm[:, 0], info[0]
