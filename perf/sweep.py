@@ -33,31 +33,29 @@ def luflop(m: int, n: int) -> float:
     return float(np.sum((m - k - 1) + 2.0 * (m - k - 1) * (n - k - 1)))
 
 
-def best_time(fn, A, reps: int = 5, budget_s: float = 2.0) -> float:
-    jax.block_until_ready(fn(A))  # compile
-    best = float("inf")
-    t_start = time.perf_counter()
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(A))
-        best = min(best, time.perf_counter() - t0)
-        if time.perf_counter() - t_start > budget_s:
-            break
-    return best
+def best_time(fn, A, reps: int = 3) -> float:
+    """Marginal (differential-K) loop-in-jit timing — single-call wall
+    timing is meaningless through the TPU relay (fixed ~200 ms
+    dispatch+sync overhead per invocation; see utils/profiling.py)."""
+    from recursivefactorization_jl_tpu.utils.profiling import marginal_time
+
+    return marginal_time(fn, A, k1=2, k2=8, reps=reps)
 
 
 def variants(dtype):
+    from recursivefactorization_jl_tpu.models.lu import _dispatch_factor
+
     return {
         # default adaptive schedule
-        "rf_default": jax.jit(lambda a: rf.lu_factor(a, True)),
+        "rf_default": lambda a: _dispatch_factor(
+            a, True, rf.default_config()
+        )[0],
         # fully blocked (recursion-analog forced on, like threshold=4)
-        "rf_blocked": jax.jit(
-            lambda a: rf.lu_factor(
-                a, True, config=rf.LUConfig(small_threshold=0)
-            )
-        ),
+        "rf_blocked": lambda a: _dispatch_factor(
+            a, True, rf.LUConfig(small_threshold=0)
+        )[0],
         # XLA/LAPACK baseline (the OpenBLAS lu! analog)
-        "xla_lu": jax.jit(lambda a: jax.scipy.linalg.lu_factor(a)),
+        "xla_lu": lambda a: jax.scipy.linalg.lu_factor(a)[0],
     }
 
 
@@ -100,11 +98,16 @@ def main() -> None:
         A = jnp.asarray(
             rng.standard_normal((B, n, n)), dtype=jnp.float32
         )
+        from recursivefactorization_jl_tpu.parallel import (
+            batched_lu_factor_perm,
+        )
+
         for name, fn in {
-            "rf_batched": jax.jit(lambda a: batched_lu_factor(a, True)),
-            "xla_batched": jax.jit(
-                lambda a: jax.vmap(jax.scipy.linalg.lu_factor)(a)
-            ),
+            "rf_batched": lambda a: batched_lu_factor(a, True)[0],
+            "rf_batched_perm": lambda a: batched_lu_factor_perm(a, True)[0],
+            "xla_batched": lambda a: jax.vmap(jax.scipy.linalg.lu_factor)(
+                a
+            )[0],
         }.items():
             t = best_time(fn, A)
             gf = B * luflop(n, n) / t / 1e9

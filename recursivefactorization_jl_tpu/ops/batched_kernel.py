@@ -131,6 +131,140 @@ def _batched_group_kernel(a_ref, out_ref, piv_ref, perm_ref, info_ref, *, pivot:
 
 
 
+def _batched_noswap_kernel(a_ref, out_ref, prow_ref, info_ref, used_ref, *, pivot: bool):
+    """No-swap variant: rows are eliminated in PHYSICAL order — a `used`
+    mask tracks consumed pivot rows instead of swapping, which removes
+    the two full (G, m, n) select passes per step (the dominant cost of
+    the swap kernel).  The caller applies the composed permutation as
+    ONE gather at the end.
+
+    Square matrices only (the tall-matrix residual-row order under
+    LAPACK swap semantics has no cheap physical-order equivalent).
+    Pivot tie-breaking is by physical row index, so on exact ties the
+    chosen row can differ from LAPACK's (factors still satisfy
+    L @ U == A[perm, :]); `info` semantics are unchanged.
+    """
+    G, m, n = a_ref.shape
+    out_ref[:, :, :] = a_ref[:, :, :]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (G, m), 1)
+    used_ref[:, :] = jnp.zeros((G, m), jnp.float32)
+    info_ref[0, 0, :] = jnp.zeros((G,), jnp.int32)
+
+    for k in range(n):  # static unroll
+        colk = out_ref[:, :, k]                                    # (G, m)
+        avail = used_ref[:, :] < 0.5                               # (G, m)
+        if pivot:
+            abscol = jnp.where(avail, jnp.abs(colk), -jnp.inf)
+            maxv = jnp.max(abscol, axis=1, keepdims=True)          # (G, 1)
+            kp2 = jnp.min(
+                jnp.where(abscol == maxv, rowi, m), axis=1, keepdims=True
+            ).astype(jnp.int32)
+        else:
+            # first available row == physical row k (rows consumed in
+            # order when not pivoting)
+            kp2 = jnp.full((G, 1), k, jnp.int32)
+        kp2 = jnp.minimum(kp2, m - 1)
+        prow_ref[0, :, k] = kp2[:, 0]
+
+        is_kp2 = rowi == kp2                                       # (G, m)
+        pivval2 = jnp.sum(
+            jnp.where(is_kp2, colk, 0.0), axis=1, keepdims=True
+        )
+        nonzero2 = pivval2 != 0.0
+        used_ref[:, :] = used_ref[:, :] + is_kp2.astype(jnp.float32)
+        remaining = avail & jnp.logical_not(is_kp2)                # (G, m)
+
+        # scale remaining rows of column k (unscaled when zero pivot,
+        # matching ref src/lu.jl:299-319)
+        inv2 = jnp.where(nonzero2, 1.0, 0.0) / jnp.where(
+            nonzero2, pivval2, 1.0
+        )
+        lcol = jnp.where(
+            remaining & nonzero2, colk * inv2,
+            jnp.where(remaining, colk, 0.0),
+        )                                                          # (G, m)
+        out_ref[:, :, k] = jnp.where(remaining & nonzero2, colk * inv2, colk)
+
+        nonzero1 = pivval2[:, 0] != 0.0
+        info = info_ref[0, 0, :]
+        info_ref[0, 0, :] = jnp.where(
+            (~nonzero1) & (info == 0),
+            jnp.int32(k + 1) if pivot else jnp.int32(-(k + 1)),
+            info,
+        )
+
+        if k + 1 < n:
+            # urow: the pivot row's trailing columns (masked reduce)
+            is_kp3 = jax.lax.broadcasted_iota(
+                jnp.int32, (G, m, 1), 1
+            ) == kp2[:, :, None]
+            urow = jnp.sum(
+                jnp.where(is_kp3, out_ref[:, :, k + 1 :], 0.0),
+                axis=1,
+                keepdims=True,
+            )                                                      # (G, 1, n')
+            out_ref[:, :, k + 1 :] -= lcol[:, :, None] * urow
+
+
+@functools.partial(jax.jit, static_argnames=("pivot", "interpret", "group"))
+def batched_lu_pallas_noswap(
+    A: jax.Array, pivot: bool = True, interpret=None, group: int = GROUP
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """No-swap batched LU for square matrices: returns
+    ``(factors (B,n,n), perm (B,n), info (B,))`` with
+    ``L @ U == A[perm, :]``.  Faster than :func:`batched_lu_pallas`
+    (no per-step swap passes) but does not produce a LAPACK ipiv
+    sequence and breaks pivot ties by physical row index.
+    """
+    B, m, n = A.shape
+    if m != n:
+        raise ValueError("batched_lu_pallas_noswap requires square matrices")
+    if interpret is None:
+        interpret = not is_tpu_backend()
+    G = group
+    pad = (-B) % G
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(m, n, dtype=A.dtype), (pad, m, n))
+        A = jnp.concatenate([A, eye], axis=0)
+    Bp = B + pad
+    nb = Bp // G
+
+    kernel = functools.partial(_batched_noswap_kernel, pivot=pivot)
+    out, prow, info = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, m, n), A.dtype),
+            jax.ShapeDtypeStruct((nb, G, n), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, G), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(
+                (G, m, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (G, m, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, G, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, G), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[pltpu.VMEM((G, m), jnp.float32)],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(A)
+    perm = prow.reshape(Bp, n)[:B]
+    info = info.reshape(Bp)[:B]
+    # ONE gather puts rows into logical (pivot) order
+    factors = jnp.take_along_axis(out[:B], perm[:, :, None], axis=1)
+    return factors, perm, info
+
+
 @functools.partial(jax.jit, static_argnames=("pivot", "interpret", "group"))
 def batched_lu_pallas(
     A: jax.Array, pivot: bool = True, interpret=None, group: int = GROUP

@@ -17,7 +17,9 @@ This package is the scale-out extension the reference never had:
 
 from .batched import (
     batched_lu_factor,
+    batched_lu_factor_perm,
     batched_lu_solve,
+    batched_lu_solve_perm,
     sharded_batched_lu_factor,
     sharded_batched_lu_solve,
 )
@@ -25,6 +27,8 @@ from .blockcyclic import tp_lu_factor, tp_lu
 
 __all__ = [
     "batched_lu_factor",
+    "batched_lu_factor_perm",
+    "batched_lu_solve_perm",
     "batched_lu_solve",
     "sharded_batched_lu_factor",
     "sharded_batched_lu_solve",

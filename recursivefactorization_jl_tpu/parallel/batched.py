@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.batched_kernel import batched_lu_pallas
+from ..ops.batched_kernel import batched_lu_pallas, batched_lu_pallas_noswap
 from ..ops.unblocked import unblocked_lu
 from ..models.solve import _lu_solve_impl
 from ..utils.config import LUConfig, default_config, is_tpu_backend
@@ -70,6 +70,49 @@ def batched_lu_factor(
         return f, ipiv, info
     f, ipiv, _perm, info = jax.vmap(lambda a: unblocked_lu(a, pivot))(A)
     return f, ipiv, info
+
+
+@functools.partial(jax.jit, static_argnames=("pivot", "config"))
+def batched_lu_factor_perm(
+    A: jax.Array,
+    pivot: bool = True,
+    config: Optional[LUConfig] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fast batched factorization for SQUARE matrices: returns
+    ``(factors, perm, info)`` with ``L @ U == A[perm, :]``.
+
+    Uses the no-swap Pallas kernel (ops/batched_kernel.py) on TPU —
+    measurably faster than :func:`batched_lu_factor` because the pivot
+    chain never materializes row swaps — at the cost of not producing a
+    LAPACK ipiv swap sequence (ties break by physical row index).
+    Prefer this + :func:`batched_lu_solve_perm` for bulk solve
+    pipelines; use :func:`batched_lu_factor` when exact LAPACK ipiv
+    semantics are required.
+    """
+    if A.ndim != 3 or A.shape[1] != A.shape[2]:
+        raise ValueError(
+            f"batched_lu_factor_perm expects (B, n, n), got {A.shape}"
+        )
+    config = config or default_config()
+    if _use_batched_pallas(A.dtype, A.shape[1], config):
+        return batched_lu_pallas_noswap(A, pivot)
+    f, _ipiv, perm, info = jax.vmap(lambda a: unblocked_lu(a, pivot))(A)
+    return f, perm, info
+
+
+@functools.partial(jax.jit, static_argnames=("pivoted", "trans"))
+def batched_lu_solve_perm(
+    factors: jax.Array,
+    perm: jax.Array,
+    b: jax.Array,
+    pivoted: bool = True,
+    trans: bool = False,
+) -> jax.Array:
+    """Batched solve taking the composed permutation (from
+    :func:`batched_lu_factor_perm`) directly."""
+    return jax.vmap(
+        lambda f, p, rhs: _lu_solve_impl(f, p, rhs, pivoted, trans)
+    )(factors, perm, b)
 
 
 @functools.partial(jax.jit, static_argnames=("pivoted", "trans"))

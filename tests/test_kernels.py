@@ -77,6 +77,52 @@ def test_batched_kernel_matches_unblocked(pivot):
         assert int(info_k[i]) == int(info_o)
 
 
+@pytest.mark.parametrize("pivot", [True, False])
+def test_batched_noswap_kernel(pivot):
+    from recursivefactorization_jl_tpu.ops.batched_kernel import (
+        batched_lu_pallas_noswap,
+    )
+
+    B, n = 9, 20
+    Anp = RNG.rand(B, n, n)
+    if not pivot:
+        Anp = Anp + n * np.eye(n)
+    A = jnp.asarray(Anp, dtype=jnp.float32)
+    f, perm, info = batched_lu_pallas_noswap(
+        A, pivot, interpret=True, group=4
+    )
+    assert np.all(np.asarray(info) == 0)
+    for i in range(B):
+        Fi = np.asarray(f[i])
+        L = np.tril(Fi, -1) + np.eye(n)
+        U = np.triu(Fi)
+        p = np.asarray(perm[i])
+        assert sorted(p) == list(range(n)), "perm must be a permutation"
+        resid = np.max(np.abs(L @ U - Anp[i][p, :]))
+        assert resid < 20 * n * np.finfo(np.float32).eps * np.max(
+            np.abs(Anp[i])
+        ) * (1 if pivot else 50), resid
+        if pivot:
+            # partial pivoting bounds multipliers by 1
+            assert np.max(np.abs(L)) <= 1.0 + 1e-6
+
+
+def test_batched_noswap_zero_pivot_info():
+    from recursivefactorization_jl_tpu.ops.batched_kernel import (
+        batched_lu_pallas_noswap,
+    )
+
+    B, n = 4, 12
+    A = RNG.rand(B, n, n).astype(np.float32)
+    A[2, :, 5] = 0.0
+    f, perm, info = batched_lu_pallas_noswap(
+        jnp.asarray(A), True, interpret=True, group=4
+    )
+    for i in range(B):
+        _, _, _, info_o = unblocked_lu(jnp.asarray(A[i]), True)
+        assert int(info[i]) == int(info_o)
+
+
 def test_batched_kernel_zero_pivot():
     B, m, n = 4, 12, 12
     A = RNG.rand(B, m, n).astype(np.float32)
