@@ -31,9 +31,12 @@ from jax import lax
 
 import recursivefactorization_jl_tpu as rf
 
-N = 2048
-K1, K2 = 1, 5
-REPS = 3
+# n=4096: large enough that the MXU Schur updates dominate the serial
+# pivot chain — the regime the TPU design targets (at n=2048 the two
+# implementations are within relay measurement noise of each other).
+N = 4096
+K1, K2 = 2, 8
+REPS = 4
 
 
 def luflop(m: int, n: int) -> float:

@@ -54,11 +54,13 @@ class LUConfig:
     trsm_block: int = 128
     # Sub-panel width of the two-level panel factorization: a panel wider
     # than this is itself factored as a blocked schedule (sub-panel Pallas
-    # kernel + MXU TRSM/Schur within the panel), so the statically
-    # unrolled, VPU-bound pivot chain only ever runs at this width.  The
-    # reference's analog is the recursion bottoming out at `blocksize`
-    # (src/lu.jl:97,184).
-    inner_panel_width: int = 64
+    # kernel + MXU TRSM/Schur within the panel).  The reference's analog
+    # is the recursion bottoming out at `blocksize` (src/lu.jl:97,184).
+    # Default 256 (== the max panel width) disables two-level blocking:
+    # with the 'shadow' kernel the pivot chain is already lane-parallel
+    # and the extra per-sub-panel laswp/TRSM glue measured slower
+    # (n=2048: 3.8 ms two-level vs 2.3 ms single-level).
+    inner_panel_width: int = 256
     # Micro-panel width inside the Pallas panel kernel (rank-1 updates are
     # confined to this width; a delayed rank-`panel_micro` MXU update runs
     # at each boundary).  >= panel width disables in-kernel blocking.
