@@ -16,14 +16,17 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
+import os
+import sys
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-import recursivefactorization_jl_tpu as rf
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import recursivefactorization_jl_tpu as rf  # noqa: E402
 
 
 def luflop(m: int, n: int) -> float:

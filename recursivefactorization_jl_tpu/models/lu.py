@@ -132,6 +132,46 @@ class LU:
 
         return lu_solve(self, b, trans=trans)
 
+    # -- derived quantities (parity with LinearAlgebra.LU consumers:
+    #    det/logabsdet/inv are stdlib-provided on the reference's result
+    #    object) ---------------------------------------------------------
+    def _perm_sign(self) -> jax.Array:
+        """(-1)^(number of proper swaps in ipiv)."""
+        k = self.ipiv.shape[0]
+        swaps = jnp.sum(
+            self.ipiv != jnp.arange(k, dtype=self.ipiv.dtype)
+        )
+        return jnp.where(swaps % 2 == 0, 1.0, -1.0).astype(
+            jnp.result_type(self.factors.dtype, jnp.float32)
+        )
+
+    def det(self) -> jax.Array:
+        """Determinant: prod(diag(U)) * sign(P)."""
+        m, n = self.factors.shape
+        if m != n:
+            raise ValueError("det requires a square factorization")
+        d = jnp.prod(jnp.diagonal(self.factors))
+        return d * self._perm_sign().astype(self.factors.dtype)
+
+    def logabsdet(self):
+        """Returns ``(log|det A|, sign(det A))`` — overflow-safe."""
+        m, n = self.factors.shape
+        if m != n:
+            raise ValueError("logabsdet requires a square factorization")
+        diag = jnp.diagonal(self.factors)
+        logabs = jnp.sum(jnp.log(jnp.abs(diag)))
+        sign = jnp.prod(jnp.sign(diag)) * self._perm_sign().astype(
+            self.factors.dtype
+        )
+        return logabs, sign
+
+    def inv(self) -> jax.Array:
+        """A^{-1} by solving against the identity (n x n MXU solves)."""
+        n = self.factors.shape[0]
+        from .solve import lu_solve
+
+        return lu_solve(self, jnp.eye(n, dtype=self.factors.dtype))
+
 
 @full_matmul_precision
 def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):

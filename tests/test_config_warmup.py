@@ -54,3 +54,16 @@ def test_bf16_schur_mode():
 
 def test_warmup_runs():
     warmup(shapes=((16, 16), (8, 12)), dtypes=(jnp.float32,))
+
+
+def test_bfloat16_dtype_path():
+    """bf16 inputs factor through the fast-dtype dispatch; residual at
+    bf16 precision level."""
+    n = 48
+    A = RNG.rand(n, n).astype(np.float32)
+    F = rf.lu(jnp.asarray(A, dtype=jnp.bfloat16))
+    f = np.asarray(F.factors, dtype=np.float32)
+    L = np.tril(f, -1) + np.eye(n)
+    U = np.triu(f)
+    resid = np.max(np.abs(L @ U - A[np.asarray(F.p), :]))
+    assert resid < n * 2.0 ** -7, resid
