@@ -3,23 +3,32 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-metric   : GFLOP/s of a 2048x2048 float32 pivoted LU factorization
-           (flops = exact LU count ~ 2n^3/3, the same accounting the
-           reference's harness uses — reference perf/lu.jl:7-19).
+metric   : GFLOP/s of an NxN (N below) float32 pivoted LU factorization
+           (flops = the standard exact LU count ~ 2n^3/3).  NOTE: the
+           reference harness's luflop (reference perf/lu.jl:7-19) uses a
+           LARGER count (~n^3 at m=n: it adds a divide per step and sums
+           the scale range values), so absolute GFLOP/s here are NOT
+           comparable with reference-published plots (~1.5x lower by
+           construction); the vs_baseline ratio is unaffected.
 baseline : XLA's own LU (jax.scipy.linalg.lu_factor) on the same chip;
            vs_baseline = baseline_time / our_time (>1 means faster).
 
-Timing methodology: this host reaches the TPU through a relay with
-~200 ms fixed dispatch+sync overhead per jit invocation, and
-block_until_ready does not reliably sync, so single-call wall timing is
-meaningless.  Instead each measurement runs K data-dependent
-factorizations inside ONE jit (lax.fori_loop), fetches a scalar, and
-the reported time is the marginal (t(K2) - t(K1)) / (K2 - K1), which
-cancels the fixed overhead exactly.
+Timing methodology (hardened in round 2): this host reaches the TPU
+through a relay with ~200 ms fixed dispatch+sync overhead per jit
+invocation, and block_until_ready does not reliably sync, so single-call
+wall timing is meaningless.  Each measurement runs K data-dependent
+factorizations inside ONE jit (lax.fori_loop) and fetches a scalar; the
+time per factorization is the marginal (t(Kb) - t(Ka)) / (Kb - Ka),
+which cancels the fixed overhead exactly.  To keep run-to-run relay
+variance out of the ours/baseline ratio, all (variant, K) cells are
+measured INTERLEAVED across repetitions, marginals are computed from
+every K pair, and the reported value is the median of marginals (the
+spread across marginals is written to bench_details.json).
 """
 
 from __future__ import annotations
 
+import itertools
 import json
 import time
 
@@ -29,20 +38,26 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-import recursivefactorization_jl_tpu as rf
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import recursivefactorization_jl_tpu as rf  # noqa: E402
+from recursivefactorization_jl_tpu.models.lu import _dispatch_factor  # noqa: E402
 
 # n=4096: large enough that the MXU Schur updates dominate the serial
 # pivot chain — the regime the TPU design targets (at n=2048 the two
 # implementations are within relay measurement noise of each other).
 N = 4096
-K1, K2 = 2, 8
-REPS = 4
+KS = (2, 5, 8)   # loop lengths; marginals from all pairs
+REPS = 3         # interleaved repetitions per (variant, K) cell
+BATCH_B, BATCH_N = 10000, 64  # BASELINE config 5 batched workload
 
 
 def luflop(m: int, n: int) -> float:
-    """Exact LU flop count (the reference's GFLOPS accounting,
-    perf/lu.jl:7-19): per elimination step, the divides + rank-1
-    mul-adds; for m == n this is ~ 2n^3/3."""
+    """Standard exact LU flop count: per elimination step, the scale
+    multiplies + rank-1 mul-adds; for m == n this is ~ 2n^3/3 (differs
+    from reference perf/lu.jl:7-19's larger accounting — see module
+    docstring)."""
     minmn = min(m, n)
     k = np.arange(minmn, dtype=np.float64)
     return float(np.sum((m - k - 1) + 2.0 * (m - k - 1) * (n - k - 1)))
@@ -53,68 +68,124 @@ def _looped(fact, A, K):
 
     The carry multiplies A by (1 + 1e-24*f[0,0]): numerically a no-op in
     f32 (rounds to *1.0) but a runtime data dependence XLA cannot fold,
-    so the loop body cannot be CSE'd or dead-code-eliminated.
-    """
+    so the loop body cannot be CSE'd or dead-code-eliminated."""
 
     @jax.jit
     def run():
         def body(i, a):
             f = fact(a)
-            return a * (1.0 + 1e-24 * f[0, 0])
+            s = f[0, 0] if f.ndim == 2 else f[0, 0, 0]
+            return a * (1.0 + 1e-24 * s)
 
         out = lax.fori_loop(0, K, body, A)
-        return out[0, 0]
+        return out[0, 0] if out.ndim == 2 else out[0, 0, 0]
 
     return run
 
 
-def marginal_time(fact, A, k1=K1, k2=K2, reps=REPS) -> float:
-    run1, run2 = _looped(fact, A, k1), _looped(fact, A, k2)
-    times = {}
-    for key, run in (("t1", run1), ("t2", run2)):
-        np.asarray(run())  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(run())
-            best = min(best, time.perf_counter() - t0)
-        times[key] = best
-    return (times["t2"] - times["t1"]) / (k2 - k1)
+def measure_variants(variants, ks=KS, reps=REPS):
+    """variants: {name: (fact, A)}.  Returns {name: (median_s, spread)}
+    where spread = (max - min) / median over all marginals."""
+    runs = {}
+    for name, (fact, A) in variants.items():
+        runs[name] = {k: _looped(fact, A, k) for k in ks}
+    for name in runs:
+        for k in ks:
+            np.asarray(runs[name][k]())  # compile + warm
+    times = {name: {k: [] for k in ks} for name in runs}
+    for _ in range(reps):
+        for name in runs:  # interleaved: variance hits all cells alike
+            for k in ks:
+                t0 = time.perf_counter()
+                np.asarray(runs[name][k]())
+                times[name][k].append(time.perf_counter() - t0)
+    out = {}
+    for name in runs:
+        best = {k: min(times[name][k]) for k in ks}
+        margs = []
+        for r in range(reps):
+            for ka, kb in itertools.combinations(ks, 2):
+                margs.append(
+                    (times[name][kb][r] - times[name][ka][r]) / (kb - ka)
+                )
+        margs = np.asarray(margs)
+        med = float(np.median(margs))
+        spread = float((margs.max() - margs.min()) / med) if med > 0 else 0.0
+        out[name] = (med, spread, [float(x) for x in margs], best)
+    return out
+
+
+def correctness_gate(A):
+    """Residual check so the headline number is honest."""
+    f, ipiv, info = jax.device_get(rf.lu_factor(A, True))
+    n = A.shape[0]
+    L = np.tril(f, -1).astype(np.float64) + np.eye(n)
+    U = np.triu(f).astype(np.float64)
+    from recursivefactorization_jl_tpu.utils.perm import ipiv_to_perm
+
+    p = np.asarray(jax.jit(ipiv_to_perm, static_argnums=1)(jnp.asarray(ipiv), n))
+    An = np.asarray(A, dtype=np.float64)
+    resid = np.max(np.abs(L @ U - An[p, :])) / (
+        n * np.finfo(np.float32).eps * np.max(np.abs(An))
+    )
+    assert resid < 100.0, f"residual check failed: {resid}"
+    assert int(info) == 0
+    return resid
 
 
 def main() -> None:
     rng = np.random.RandomState(123)  # ref perf/lu.jl:4 MersenneTwister(123)
     A = jnp.asarray(rng.standard_normal((N, N)), dtype=jnp.float32)
+    Ab = jnp.asarray(
+        rng.standard_normal((BATCH_B, BATCH_N, BATCH_N)), dtype=jnp.float32
+    )
 
     cfg = rf.default_config()
-    from recursivefactorization_jl_tpu.models.lu import _dispatch_factor
+    cfg_bf16 = rf.LUConfig(schur_precision="bf16")
 
-    def ours(a):
-        return _dispatch_factor(a, True, cfg)[0]
+    variants = {
+        "ours": (lambda a: _dispatch_factor(a, True, cfg)[0], A),
+        "xla": (lambda a: jax.scipy.linalg.lu_factor(a)[0], A),
+        "ours_bf16": (lambda a: _dispatch_factor(a, True, cfg_bf16)[0], A),
+        "ours_batched": (
+            lambda a: rf.batched_lu_factor_perm(a, True)[0], Ab
+        ),
+        "xla_batched": (
+            lambda a: jax.vmap(jax.scipy.linalg.lu_factor)(a)[0], Ab
+        ),
+    }
+    res = measure_variants(variants)
+    resid = correctness_gate(A)
 
-    def base(a):
-        return jax.scipy.linalg.lu_factor(a)[0]
-
-    t_ours = marginal_time(ours, A)
-    t_base = marginal_time(base, A)
-
-    # correctness gate so the number is honest
-    f, ipiv, info = jax.device_get(rf.lu_factor(A, True))
-    L = np.tril(f, -1).astype(np.float64) + np.eye(N)
-    U = np.triu(f).astype(np.float64)
-    from recursivefactorization_jl_tpu.utils.perm import ipiv_to_perm
-
-    p = np.asarray(
-        jax.jit(ipiv_to_perm, static_argnums=1)(jnp.asarray(ipiv), N)
-    )
-    An = np.asarray(A, dtype=np.float64)
-    resid = np.max(np.abs(L @ U - An[p, :])) / (
-        N * np.finfo(np.float32).eps * np.max(np.abs(An))
-    )
-    assert resid < 100.0, f"residual check failed: {resid}"
-    assert int(info) == 0
-
+    t_ours, t_base = res["ours"][0], res["xla"][0]
     gflops = luflop(N, N) / t_ours / 1e9
+    details = {
+        "n": N,
+        "residual_scaled": resid,
+        "variants": {
+            name: {
+                "median_s": r[0],
+                "spread": r[1],
+                "marginals_s": r[2],
+                "best_wall_s_per_K": {str(k): v for k, v in r[3].items()},
+            }
+            for name, r in res.items()
+        },
+        "batched": {
+            "B": BATCH_B,
+            "n": BATCH_N,
+            "ours_ms": res["ours_batched"][0] * 1e3,
+            "xla_ms": res["xla_batched"][0] * 1e3,
+            "speedup": res["xla_batched"][0] / res["ours_batched"][0],
+        },
+        "bf16": {
+            "median_s": res["ours_bf16"][0],
+            "speedup_vs_f32": t_ours / res["ours_bf16"][0],
+        },
+    }
+    with open("bench_details.json", "w") as fh:
+        json.dump(details, fh, indent=1)
+
     print(
         json.dumps(
             {

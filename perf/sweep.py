@@ -30,7 +30,10 @@ import recursivefactorization_jl_tpu as rf  # noqa: E402
 
 
 def luflop(m: int, n: int) -> float:
-    """Exact LU flop count (same accounting as reference perf/lu.jl:7-19)."""
+    """Standard exact LU flop count ~ 2n^3/3 at m == n.  The reference's
+    luflop (perf/lu.jl:7-19) counts ~1.5x MORE (adds a divide per step
+    and sums the scale-range values), so absolute GFLOP/s are not
+    comparable with reference plots; ratios between variants are."""
     minmn = min(m, n)
     k = np.arange(minmn, dtype=np.float64)
     return float(np.sum((m - k - 1) + 2.0 * (m - k - 1) * (n - k - 1)))

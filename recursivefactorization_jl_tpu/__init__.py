@@ -38,7 +38,7 @@ from .models.lu import (
     normalize_pivot,
     SingularMatrixError,
 )
-from .models.solve import lu_solve, ldiv
+from .models.solve import lu_solve, lu_solve_refined, ldiv
 from .models.butterfly import (
     BWorkspace,
     butterfly_workspace,
@@ -52,7 +52,9 @@ from .utils.config import LUConfig, default_config
 from .utils.perm import ipiv_to_perm, perm_to_matrix
 from .parallel import (
     batched_lu_factor,
+    batched_lu_factor_perm,
     batched_lu_solve,
+    batched_lu_solve_perm,
     sharded_batched_lu_factor,
     sharded_batched_lu_solve,
     tp_lu,
@@ -69,6 +71,7 @@ __all__ = [
     "lu_inplace",
     "normalize_pivot",
     "lu_solve",
+    "lu_solve_refined",
     "ldiv",
     "SingularMatrixError",
     "BWorkspace",
@@ -83,7 +86,9 @@ __all__ = [
     "ipiv_to_perm",
     "perm_to_matrix",
     "batched_lu_factor",
+    "batched_lu_factor_perm",
     "batched_lu_solve",
+    "batched_lu_solve_perm",
     "sharded_batched_lu_factor",
     "sharded_batched_lu_solve",
     "tp_lu",

@@ -194,22 +194,37 @@ def pad_to_multiple_of_4(A: jax.Array) -> jax.Array:
 @dataclasses.dataclass(frozen=True)
 class BWorkspace:
     """RBT solve state (ref 🦋workspace, src/butterflylu.jl:20-43):
-    the padded matrix, padded rhs, the 4n butterfly values, materialized
-    dense U/V, and the original size."""
+    the padded matrix, padded rhs, the 4n butterfly values, and the
+    original size.
+
+    Unlike the reference, dense U/V are NOT materialized eagerly: the
+    solve pipeline applies the butterflies implicitly (``apply_ut`` /
+    ``apply_v`` — O(n) work instead of two n x n matmuls + 2n^2
+    storage); call :meth:`UV` when the dense factors are actually
+    needed (ref materializeUV, src/butterflylu.jl:149-178)."""
 
     A: jax.Array
     b: jax.Array
     uv: jax.Array
-    U: jax.Array
-    V: jax.Array
     n: int
 
     def tree_flatten(self):
-        return (self.A, self.b, self.uv, self.U, self.V), (self.n,)
+        return (self.A, self.b, self.uv), (self.n,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, n=aux[0])
+
+    def UV(self):
+        """Materialize and return the dense ``(U, V)`` butterfly factors
+        for the padded size (lazy analog of the reference's eager
+        ``materializeUV``, src/butterflylu.jl:40,149-178)."""
+        return _materialize_uv_jit(self.uv, self.A.shape[0])
+
+
+_materialize_uv_jit = jax.jit(
+    full_matmul_precision(materialize_uv), static_argnums=1
+)
 
 
 @functools.partial(jax.jit, static_argnames=("seed",))
@@ -219,35 +234,41 @@ def _workspace_arrays(A, b, seed):
     Ap = pad_to_multiple_of_4(A)
     np_ = Ap.shape[0]
     if np_ != n:
+        # The reference extends the padded rhs with RANDOM values
+        # (src/butterflylu.jl:32-36); zeros are equivalent because the
+        # pad block of A is the identity, decoupled from the leading
+        # n x n system — the padded tail of the solution is discarded.
         b = jnp.concatenate([b, jnp.zeros((np_ - n,), dtype=b.dtype)])
     uv = generate_butterfly_values(np_, seed, Ap.dtype)
-    U, V = materialize_uv(uv, np_)
-    return Ap, b, uv, U, V
+    return Ap, b, uv
 
 
 def butterfly_workspace(
     A: jax.Array, b: jax.Array, seed: int = DEFAULT_SEED
 ) -> BWorkspace:
-    """Build the RBT workspace: pad to a multiple of 4, draw the 4n
-    butterfly values, materialize U and V."""
+    """Build the RBT workspace: pad to a multiple of 4 and draw the 4n
+    butterfly values (U/V stay implicit; see :meth:`BWorkspace.UV`)."""
     A = jnp.asarray(A)
     b = jnp.asarray(b)
-    Ap, bp, uv, U, V = _workspace_arrays(A, b, seed)
-    return BWorkspace(A=Ap, b=bp, uv=uv, U=U, V=V, n=A.shape[0])
+    Ap, bp, uv = _workspace_arrays(A, b, seed)
+    return BWorkspace(A=Ap, b=bp, uv=uv, n=A.shape[0])
 
 
-@functools.partial(jax.jit, static_argnames=("n", "config"))
+# jit keys on the PADDED shape only (not the original n, which is
+# sliced outside) so e.g. the n = 790..810 Wilkinson sweep compiles one
+# program per padded size (6 programs), not one per n (21).
+@functools.partial(jax.jit, static_argnames=("config",))
 @full_matmul_precision
-def _butterfly_solve_impl(A, b, uv, n: int, config: LUConfig):
+def _butterfly_solve_impl(A, b, uv, config: LUConfig):
     from .lu import lu_factor
     from .solve import _lu_solve_impl
 
     At = butterfly_mul(A, uv)
     factors, ipiv, info = lu_factor(At, pivot=False, config=config)
     tmp = apply_ut(uv, b.astype(At.dtype))
-    y = _lu_solve_impl(factors, ipiv, tmp, pivoted=False, trans=False)
+    y = _lu_solve_impl(factors, ipiv, tmp, pivoted=False, trans=0)
     x = apply_v(uv, y)
-    return x[:n], info
+    return x, info
 
 
 def butterfly_solve(
@@ -259,5 +280,5 @@ def butterfly_solve(
     """Pivot-free RBT solve (ref 🦋solve!, src/butterflylu.jl:45-55):
     A~ = U^T A V  ->  pivot-free LU  ->  x = V (A~)^-1 U^T b, unpadded."""
     config = config or default_config()
-    x, info = _butterfly_solve_impl(ws.A, ws.b, ws.uv, ws.n, config)
-    return (x, info) if return_info else x
+    x, info = _butterfly_solve_impl(ws.A, ws.b, ws.uv, config)
+    return (x[: ws.n], info) if return_info else x[: ws.n]

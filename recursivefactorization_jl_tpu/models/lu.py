@@ -9,7 +9,7 @@ Reference surface being mirrored (src/lu.jl):
 * ``NotIPIV`` no-pivot fast path   (src/lu.jl:27-61)  -> ``pivot=False``
   carries an identity pivot statically; solves skip the permutation.
 * adjoint/transpose wrappers       (src/lu.jl:81-83)  -> ``lu(A.T)`` /
-  :meth:`LU.T` solve-with-transpose support.
+  ``lu_solve(..., trans="T"|"H")`` solve-with-(conjugate-)transpose.
 * ``check``/``checknonsingular``   (src/lu.jl:120)    -> ``check=True``
   raises :class:`SingularMatrixError` (host-synced; use the default
   ``check=False`` under jit).
@@ -127,7 +127,9 @@ class LU:
         """Dense permutation matrix with ``P @ A == L @ U``."""
         return perm_to_matrix(self.p, self.factors.dtype)
 
-    def solve(self, b: jax.Array, trans: bool = False) -> jax.Array:
+    def solve(self, b: jax.Array, trans=0) -> jax.Array:
+        """Solve ``A x = b`` (``trans=0``/"N"), ``A^T x = b``
+        (``trans=1``/"T") or ``A^H x = b`` (``trans=2``/"H")."""
         from .solve import lu_solve
 
         return lu_solve(self, b, trans=trans)

@@ -5,8 +5,11 @@ Mirrors the reference's solve plumbing:
   ``ldiv!(::LU, b)`` path, exercised at reference test/runtests.jl:21);
 * no-pivot solve skips the permutation entirely — the ``NotIPIV`` /
   ``_ipiv_rows!`` no-op overrides (ref src/lu.jl:42-61);
-* transpose solves support the adjoint/transpose wrappers
-  (ref src/lu.jl:81-83).
+* transpose AND adjoint (conjugate-transpose) solves support the
+  metaprogrammed ``Transpose``/``Adjoint`` wrappers of the reference
+  (ref src/lu.jl:81-83): ``trans`` accepts ``"N"``/``False``/``0`` (solve
+  ``A x = b``), ``"T"``/``True``/``1`` (``A^T x = b``) and ``"H"``/``2``
+  (``A^H x = b`` — equal to ``"T"`` for real dtypes).
 """
 
 from __future__ import annotations
@@ -21,42 +24,126 @@ from ..utils.config import full_matmul_precision
 from ..utils.perm import invert_perm, ipiv_to_perm
 
 
+def normalize_trans(trans) -> int:
+    """Normalize the transpose selector to 0 (N) / 1 (T) / 2 (H).
+
+    Accepted spellings: bool, 0/1/2, and the LAPACK-style strings
+    "N"/"T"/"H" (case-insensitive), mirroring scipy's ``lu_solve``."""
+    if isinstance(trans, bool):
+        return 1 if trans else 0
+    if trans in (0, 1, 2):
+        return int(trans)
+    if isinstance(trans, str):
+        key = trans.upper()
+        if key in ("N", "NOTRANS", "NONE"):
+            return 0
+        if key in ("T", "TRANS", "TRANSPOSE"):
+            return 1
+        if key in ("H", "C", "ADJOINT", "CONJTRANS"):
+            return 2
+    raise ValueError(
+        f"unrecognized trans selector {trans!r}; use False/0/'N', "
+        "True/1/'T', or 2/'H'"
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("pivoted", "trans"))
 @full_matmul_precision
-def _lu_solve_impl(factors, perm, b, pivoted: bool, trans: bool):
+def _lu_solve_impl(factors, perm, b, pivoted: bool, trans=0):
     """``perm`` is the COMPOSED row permutation (``L@U == A[perm,:]``),
     not the ipiv swap sequence — composing ipiv on the fly is a
     sequential n-step scalar chain that would dominate the solve on TPU
     (the factorization hands the composed vector out for free)."""
+    trans = normalize_trans(trans)
     if factors.shape[0] != factors.shape[1]:
         raise ValueError("lu_solve requires a square factorization")
     vec = b.ndim == 1
     B = b[:, None] if vec else b
     B = B.astype(factors.dtype)
 
-    if not trans:
+    if trans == 0:
         if pivoted:
             B = jnp.take(B, perm, axis=0)
         y = trsm.solve_unit_lower(factors, B)
         x = trsm.solve_upper(factors, y)
     else:
         # A = P^T L U  =>  A^T x = b  <=>  U^T y = b, L^T z = y, x = P^T z
-        y = trsm.solve_lower(factors.T, B)
-        x = trsm.solve_unit_upper(factors.T, y)
+        # A^H x = b uses the conjugated factors: U^H y = b, L^H z = y
+        # (identical to "T" for real dtypes; ref Adjoint wrapper
+        # src/lu.jl:81-83).
+        ft = factors.T
+        if trans == 2 and jnp.issubdtype(factors.dtype, jnp.complexfloating):
+            ft = jnp.conj(ft)
+        y = trsm.solve_lower(ft, B)
+        x = trsm.solve_unit_upper(ft, y)
         if pivoted:
             x = jnp.take(x, invert_perm(perm), axis=0)
     return x[:, 0] if vec else x
 
 
-def lu_solve(lu_res, b: jax.Array, trans: bool = False) -> jax.Array:
-    """Solve ``A x = b`` (or ``A^T x = b`` with ``trans=True``) given
-    ``lu_res = lu(A)``."""
+def lu_solve(lu_res, b: jax.Array, trans=0) -> jax.Array:
+    """Solve ``A x = b`` given ``lu_res = lu(A)``.
+
+    ``trans``: ``0``/``"N"``/``False`` solves ``A x = b``;
+    ``1``/``"T"``/``True`` solves ``A^T x = b``; ``2``/``"H"`` solves
+    ``A^H x = b`` (conjugate transpose)."""
     perm = lu_res.p if lu_res.pivoted else lu_res.ipiv
     return _lu_solve_impl(
-        lu_res.factors, perm, jnp.asarray(b), lu_res.pivoted, trans
+        lu_res.factors, perm, jnp.asarray(b), lu_res.pivoted,
+        normalize_trans(trans),
     )
 
 
 def ldiv(lu_res, b: jax.Array) -> jax.Array:
     """Reference-style name (``ldiv!``): left-division by the factored A."""
     return lu_solve(lu_res, b)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pivoted", "trans", "iters")
+)
+@full_matmul_precision
+def _lu_solve_refined_impl(factors, perm, A, b, pivoted, trans, iters):
+    x = _lu_solve_impl(factors, perm, b, pivoted, trans)
+    bm = b if b.ndim > 1 else b[:, None]
+    for _ in range(iters):
+        xm = x if x.ndim > 1 else x[:, None]
+        if trans == 0:
+            Ax = jnp.dot(A, xm, preferred_element_type=A.dtype)
+        elif trans == 1:
+            Ax = jnp.dot(A.T, xm, preferred_element_type=A.dtype)
+        else:
+            Ax = jnp.dot(
+                jnp.conj(A).T, xm, preferred_element_type=A.dtype
+            )
+        r = bm.astype(A.dtype) - Ax
+        r = r if b.ndim > 1 else r[:, 0]
+        dx = _lu_solve_impl(factors, perm, r, pivoted, trans)
+        x = x + dx
+    return x
+
+
+def lu_solve_refined(
+    lu_res, A: jax.Array, b: jax.Array, iters: int = 2, trans=0
+) -> jax.Array:
+    """Solve with ``iters`` steps of iterative refinement:
+    ``x += A \\ (b - A x)`` re-using the factorization for each
+    correction.
+
+    This is the accuracy-recovery companion of the fast
+    ``schur_precision='bf16'`` factorization mode (ops/schur.py): the
+    O(n^3) Schur bulk runs single-pass bf16-compute/f32-accumulate on
+    the MXU (~arithmetic eps 2^-8 per product term), and 1-2 refinement
+    steps with f32 residuals restore the solve to the reference's f32
+    accuracy gate (ref test/runtests.jl:17,24) at ~O(n^2) cost per step.
+    The residual matvec runs at full (HIGHEST) precision."""
+    perm = lu_res.p if lu_res.pivoted else lu_res.ipiv
+    return _lu_solve_refined_impl(
+        lu_res.factors,
+        perm,
+        jnp.asarray(A),
+        jnp.asarray(b),
+        lu_res.pivoted,
+        normalize_trans(trans),
+        iters,
+    )

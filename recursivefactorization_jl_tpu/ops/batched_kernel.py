@@ -1,29 +1,38 @@
-"""Batched small-matrix LU — a group of matrices per Pallas grid cell.
+"""Batched small-matrix LU — lane-batched Pallas kernels.
 
 The reference escapes to the stdlib unblocked kernel for small matrices
 (`min(m,n) < 10`, reference src/lu.jl:70) and relies on `@turbo` SIMD to
 make small-n fast on CPU.  On TPU, small single matrices cannot feed the
-MXU/VPU; the native win is **batching**.  Design points (measured on
-v5e):
+MXU/VPU; the native win is **batching**.
 
-* a vmapped pure-JAX loop round-trips the whole (B, m, n) batch through
-  HBM on every one of the min(m, n) elimination steps — 224 ms for
-  10000 x 64 x 64 f32;
-* one matrix per grid cell keeps data in VMEM but pays the per-op issue
-  overhead of the serial pivot chain per matrix;
-* so each grid cell holds a GROUP of ``G`` matrices, VMEM-resident, and
-  every step of the pivot chain is one **branchless vectorized op over
-  the whole group**: the pivot row index differs per matrix, so swaps /
-  pivot reads use iota-mask selects and reductions instead of dynamic
-  indexing.  The group amortizes op-issue overhead ~G-fold.
+Design (2nd generation; the 1st statically unrolled the pivot chain over
+a (G, m, n) group, which exploded Mosaic compile time above G=32 and
+wasted lanes on every (G, 1)-shaped per-matrix scalar):
+
+* the batch lives on the LANE axis: each grid cell holds a
+  ``(n, m, G)`` block — ``block[j, i, g] = A[g, i, j]`` — so the tile
+  layout is (m sublanes, G lanes) with the column index untiled.  Every
+  per-step quantity is ``(1, m, G)`` or ``(n, 1, G)``: all 128 lanes do
+  useful work for G >= 128 matrices at once, and the pivot reductions
+  run across sublanes.
+* the elimination step is a ``lax.fori_loop`` (dynamic k), not a static
+  unroll: compile time is one body trace regardless of n, enabling
+  n up to 128 (BASELINE config 5) and large G.  Trailing-update
+  confinement is replaced by column masks (``ci > k``) — more raw VPU
+  flops than shrinking slices, but every op is a full-width vector op,
+  which is the winning trade on TPU.
+* two variants share the structure:
+  - ``swap``  : LAPACK row interchanges via sublane masked selects;
+    produces the exact ipiv swap sequence (ref src/lu.jl:289-307).
+  - ``noswap``: rows eliminated in PHYSICAL order with a `used` mask;
+    no swap passes (the dominant per-step cost), composed permutation
+    applied as ONE gather by the caller.  Pivot ties break by physical
+    row index, so on exact ties the chosen row can differ from
+    LAPACK's; factors still satisfy ``L @ U == A[perm, :]``.
 
 Zero-pivot semantics match the reference (no swap, no scale, rank-1
 still runs, info records the first 1-based failure column,
-ref src/lu.jl:299-319) — enforced per matrix with vector masks.
-
-Block shapes honour Mosaic tiling: every output is reshaped so its last
-two block dims are (multiple of 8, == array dim) — int32 vectors ride
-along as (1, G, k) VMEM blocks, not SMEM scalars.
+ref src/lu.jl:299-319) — enforced per matrix with lane masks.
 """
 
 from __future__ import annotations
@@ -33,177 +42,185 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.config import is_tpu_backend
+from ..utils.config import VMEM_BUDGET_BYTES, is_tpu_backend
 
-GROUP = 32  # matrices per grid cell (measured best of 8/16/32 on v5e at 64x64)
+GROUP = 256  # matrices per grid cell (lanes-major: keep a multiple of 128)
 
 
-def _batched_group_kernel(a_ref, out_ref, piv_ref, perm_ref, info_ref, *, pivot: bool):
-    """Factor a (G, m, n) group. All per-step ops are vectorized over G
-    and branchless (per-matrix pivot rows differ)."""
-    G, m, n = a_ref.shape
+def pick_group(m: int, n: int, itemsize: int, group: int = GROUP) -> int:
+    """Largest group size <= ``group`` whose kernel working set fits the
+    VMEM budget.  The working set is ~3x the (n, m, G) block: the
+    aliased in/out block plus the masked-select/FMA temporaries of the
+    step ops.  Returns 0 when even a 128-lane group does not fit
+    (callers must fall back to the vmapped path)."""
+    per = 3 * m * n * itemsize
+    g = group
+    while g >= 128 and g * per > VMEM_BUDGET_BYTES:
+        g //= 2
+    return g if g >= 128 else 0
+
+
+def _lane_kernel(a_ref, out_ref, piv_ref, info_ref, used_ref, *,
+                 pivot: bool, swap: bool):
+    """Shared body of both variants. Refs:
+    a/out  : (n, m, G)   column-major lane-batched block (aliased)
+    piv    : (minmn, G)  pivot row per step (ipiv for swap, physical
+                         pivot row = composed perm for noswap)
+    info   : (1, G)      reference info convention
+    used   : (1, m, G)   f32 scratch, consumed-row mask (noswap only)
+    """
+    n, m, G = a_ref.shape
     minmn = min(m, n)
     out_ref[:, :, :] = a_ref[:, :, :]
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (G, m), 1)          # row ids
-    rowi3 = jax.lax.broadcasted_iota(jnp.int32, (G, m, 1), 1)
-    # perm and info live in their output refs, not SSA carries: a value
-    # carried across the full static unroll trips a Mosaic compiler
-    # assert ("limits[i] <= dim(i)") for G > 8 — ref round-trips keep
-    # live ranges per-step.
-    perm_ref[0, :, :] = rowi
-    info_ref[0, 0, :] = jnp.zeros((G,), jnp.int32)
+    info_ref[0, :] = jnp.zeros((G,), jnp.int32)
+    if not swap:
+        used_ref[:, :, :] = jnp.zeros((1, m, G), jnp.float32)
 
-    # NB: Mosaic only supports inserting minor dims on 32-bit types, so
-    # every rank-expanded mask below is built by reshaping an int32/f32
-    # array and comparing at the target rank — never by reshaping a bool.
-    for k in range(minmn):  # static unroll
-        colk = out_ref[:, :, k]                                    # (G, m)
-        if pivot:
-            abscol = jnp.where(rowi >= k, jnp.abs(colk), -jnp.inf)
-            maxv = jnp.max(abscol, axis=1, keepdims=True)          # (G, 1)
-            kp2 = jnp.min(
-                jnp.where(abscol == maxv, rowi, m), axis=1, keepdims=True
-            ).astype(jnp.int32)                                    # (G, 1)
-            kp2 = jnp.minimum(kp2, m - 1)
+    ii = lax.broadcasted_iota(jnp.int32, (1, m, G), 1)   # row ids
+    ci = lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)   # column ids
+
+    def body(k, _):
+        col = out_ref[pl.ds(k, 1), :, :]                 # (1, m, G)
+        if swap:
+            avail = ii >= k
         else:
-            kp2 = jnp.full((G, 1), k, jnp.int32)
-        piv_ref[0, :, k] = kp2[:, 0]
-
-        kp3 = kp2[:, :, None]                                      # int32 ok
-        is_kp2 = rowi == kp2                                       # (G, m)
-        is_kp3 = rowi3 == kp3                                      # (G, m, 1)
-        pivval2 = jnp.sum(
-            jnp.where(is_kp2, colk, 0.0), axis=1, keepdims=True
-        )                                                          # (G, 1)
-        pivval3 = pivval2[:, :, None]                              # f32 ok
-        nonzero2 = pivval2 != 0.0
-        nonzero3 = pivval3 != 0.0
-
+            avail = used_ref[:, :, :] < 0.5
         if pivot:
-            do_swap3 = nonzero3 & (kp3 != k)
-            # branchless row swap k <-> kp per matrix
-            blk = out_ref[:, :, :]
-            rowk = blk[:, k:k + 1, :]                              # (G, 1, n)
-            rowkp = jnp.sum(
-                jnp.where(is_kp3, blk, 0.0), axis=1, keepdims=True
-            )                                                      # (G, 1, n)
-            sel_k = (rowi3 == k) & do_swap3
-            sel_kp = is_kp3 & do_swap3
-            blk = jnp.where(sel_k, rowkp, blk)
-            blk = jnp.where(sel_kp, rowk, blk)
-            out_ref[:, :, :] = blk
-            # permutation bookkeeping, same selects on (G, m)
-            do_swap2 = nonzero2 & (kp2 != k)
-            perm = perm_ref[0, :, :]
-            pk2 = perm[:, k:k + 1]                                 # (G, 1)
-            pkp2 = jnp.sum(
-                jnp.where(is_kp2, perm, 0), axis=1, keepdims=True
-            )
-            perm = jnp.where((rowi == k) & do_swap2, pkp2, perm)
-            perm = jnp.where(is_kp2 & do_swap2, pk2, perm)
-            perm_ref[0, :, :] = perm
-            colk = out_ref[:, :, k]
-
-        # scale the pivot column below the diagonal (skip if zero pivot)
-        inv2 = jnp.where(nonzero2, 1.0, 0.0) / jnp.where(
-            nonzero2, pivval2, 1.0
-        )
-        scaled = jnp.where((rowi > k) & nonzero2, colk * inv2, colk)
-        out_ref[:, :, k] = scaled
-
-        nonzero1 = pivval2[:, 0] != 0.0                            # (G,)
-        info = info_ref[0, 0, :]
-        info_ref[0, 0, :] = jnp.where(
-            (~nonzero1) & (info == 0),
-            jnp.int32(k + 1) if pivot else jnp.int32(-(k + 1)),
-            info,
-        )
-
-        if k + 1 < n and k + 1 < m:
-            lcol = out_ref[:, k + 1 :, k]                          # (G, m')
-            urow = out_ref[:, k, k + 1 :]                          # (G, n')
-            out_ref[:, k + 1 :, k + 1 :] -= (
-                lcol[:, :, None] * urow[:, None, :]
-            )
-
-
-
-def _batched_noswap_kernel(a_ref, out_ref, prow_ref, info_ref, used_ref, *, pivot: bool):
-    """No-swap variant: rows are eliminated in PHYSICAL order — a `used`
-    mask tracks consumed pivot rows instead of swapping, which removes
-    the two full (G, m, n) select passes per step (the dominant cost of
-    the swap kernel).  The caller applies the composed permutation as
-    ONE gather at the end.
-
-    Square matrices only (the tall-matrix residual-row order under
-    LAPACK swap semantics has no cheap physical-order equivalent).
-    Pivot tie-breaking is by physical row index, so on exact ties the
-    chosen row can differ from LAPACK's (factors still satisfy
-    L @ U == A[perm, :]); `info` semantics are unchanged.
-    """
-    G, m, n = a_ref.shape
-    out_ref[:, :, :] = a_ref[:, :, :]
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (G, m), 1)
-    used_ref[:, :] = jnp.zeros((G, m), jnp.float32)
-    info_ref[0, 0, :] = jnp.zeros((G,), jnp.int32)
-
-    for k in range(n):  # static unroll
-        colk = out_ref[:, :, k]                                    # (G, m)
-        avail = used_ref[:, :] < 0.5                               # (G, m)
-        if pivot:
-            abscol = jnp.where(avail, jnp.abs(colk), -jnp.inf)
-            maxv = jnp.max(abscol, axis=1, keepdims=True)          # (G, 1)
-            kp2 = jnp.min(
-                jnp.where(abscol == maxv, rowi, m), axis=1, keepdims=True
+            abscol = jnp.where(avail, jnp.abs(col), -jnp.inf)
+            maxv = jnp.max(abscol, axis=1, keepdims=True)     # (1, 1, G)
+            kp = jnp.min(
+                jnp.where(abscol == maxv, ii, m), axis=1, keepdims=True
             ).astype(jnp.int32)
+            kp = jnp.minimum(kp, m - 1)                       # all-NaN guard
         else:
-            # first available row == physical row k (rows consumed in
-            # order when not pivoting)
-            kp2 = jnp.full((G, 1), k, jnp.int32)
-        kp2 = jnp.minimum(kp2, m - 1)
-        prow_ref[0, :, k] = kp2[:, 0]
+            # no pivoting: swap -> row k; noswap -> rows consumed in
+            # physical order, so also row k
+            kp = jnp.full((1, 1, G), k, jnp.int32)
+        piv_ref[pl.ds(k, 1), :] = kp[0]
 
-        is_kp2 = rowi == kp2                                       # (G, m)
-        pivval2 = jnp.sum(
-            jnp.where(is_kp2, colk, 0.0), axis=1, keepdims=True
-        )
-        nonzero2 = pivval2 != 0.0
-        used_ref[:, :] = used_ref[:, :] + is_kp2.astype(jnp.float32)
-        remaining = avail & jnp.logical_not(is_kp2)                # (G, m)
+        is_kp = ii == kp                                      # (1, m, G)
+        pivval = jnp.sum(jnp.where(is_kp, col, 0.0), axis=1,
+                         keepdims=True)                       # (1, 1, G)
+        nonzero = pivval != 0.0
 
-        # scale remaining rows of column k (unscaled when zero pivot,
-        # matching ref src/lu.jl:299-319)
-        inv2 = jnp.where(nonzero2, 1.0, 0.0) / jnp.where(
-            nonzero2, pivval2, 1.0
-        )
-        lcol = jnp.where(
-            remaining & nonzero2, colk * inv2,
-            jnp.where(remaining, colk, 0.0),
-        )                                                          # (G, m)
-        out_ref[:, :, k] = jnp.where(remaining & nonzero2, colk * inv2, colk)
+        if swap:
+            # interchange rows k <-> kp across ALL columns (skipped on a
+            # zero pivot, ref src/lu.jl:299-307) via sublane selects
+            do_swap = nonzero & (kp != k)                     # (1, 1, G)
+            blk = out_ref[:, :, :]
+            is_k = ii == k                                    # (1, m, G)
+            rowk = jnp.sum(jnp.where(is_k, blk, 0.0), axis=1,
+                           keepdims=True)                     # (n, 1, G)
+            rowkp = jnp.sum(jnp.where(is_kp, blk, 0.0), axis=1,
+                            keepdims=True)                    # (n, 1, G)
+            blk = jnp.where(is_k & do_swap, rowkp, blk)
+            blk = jnp.where(is_kp & do_swap, rowk, blk)
+            out_ref[:, :, :] = blk
+            col = out_ref[pl.ds(k, 1), :, :]
+            elim_rows = ii > k                                # L rows
+            urow_sel = ii == k                                # pivot row now at k
+        else:
+            used_ref[:, :, :] = used_ref[:, :, :] + is_kp.astype(jnp.float32)
+            elim_rows = avail & jnp.logical_not(is_kp)
+            urow_sel = is_kp
 
-        nonzero1 = pivval2[:, 0] != 0.0
-        info = info_ref[0, 0, :]
-        info_ref[0, 0, :] = jnp.where(
-            (~nonzero1) & (info == 0),
-            jnp.int32(k + 1) if pivot else jnp.int32(-(k + 1)),
+        # scale the pivot column's elimination rows (no scale on zero
+        # pivot, ref src/lu.jl:309-319)
+        inv = jnp.where(nonzero, 1.0, 0.0) / jnp.where(nonzero, pivval, 1.0)
+        newcol = jnp.where(elim_rows & nonzero, col * inv, col)
+        out_ref[pl.ds(k, 1), :, :] = newcol
+
+        info = info_ref[0, :]
+        nz1 = nonzero[0, 0, :]
+        info_ref[0, :] = jnp.where(
+            (~nz1) & (info == 0),
+            (k + 1) if pivot else -(k + 1),
             info,
         )
 
-        if k + 1 < n:
-            # urow: the pivot row's trailing columns (masked reduce)
-            is_kp3 = jax.lax.broadcasted_iota(
-                jnp.int32, (G, m, 1), 1
-            ) == kp2[:, :, None]
-            urow = jnp.sum(
-                jnp.where(is_kp3, out_ref[:, :, k + 1 :], 0.0),
-                axis=1,
-                keepdims=True,
-            )                                                      # (G, 1, n')
-            out_ref[:, :, k + 1 :] -= lcol[:, :, None] * urow
+        # rank-1 trailing update: cols > k, rows = elim_rows (lcol is
+        # already zero elsewhere); urow extracted by a sublane reduce
+        lcol = jnp.where(elim_rows & nonzero, col * inv,
+                         jnp.where(elim_rows, col, 0.0))      # (1, m, G)
+        urow = jnp.sum(jnp.where(urow_sel, out_ref[:, :, :], 0.0),
+                       axis=1, keepdims=True)                 # (n, 1, G)
+        urow = jnp.where(ci > k, urow, 0.0)
+        out_ref[:, :, :] = out_ref[:, :, :] - urow * lcol
+        return 0
+
+    lax.fori_loop(0, minmn, body, 0)
+
+
+def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
+                      interpret, group: int):
+    """Pad/transpose to the lane-batched layout and run the kernel.
+    ``A``: (B, m, n).  Returns (out (n, m, Bp), piv (minmn, Bp),
+    info (1, Bp), Bp)."""
+    B, m, n = A.shape
+    minmn = min(m, n)
+    if interpret is None:
+        interpret = not is_tpu_backend()
+    G = min(group, max(pick_group(m, n, jnp.dtype(A.dtype).itemsize), 128))
+    pad = (-B) % G
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(m, n, dtype=A.dtype), (pad, m, n))
+        A = jnp.concatenate([A, eye], axis=0)
+    Bp = B + pad
+    nb = Bp // G
+
+    At = jnp.transpose(A, (2, 1, 0))  # (n, m, Bp)
+    kernel = functools.partial(_lane_kernel, pivot=pivot, swap=swap)
+    out, piv, info = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, m, Bp), A.dtype),
+            jax.ShapeDtypeStruct((minmn, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((n, m, G), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((n, m, G), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((minmn, G), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, m, G), jnp.float32)],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(At)
+    return out, piv, info, B
+
+
+@functools.partial(jax.jit, static_argnames=("pivot", "interpret", "group"))
+def batched_lu_pallas(
+    A: jax.Array, pivot: bool = True, interpret=None, group: int = GROUP
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Factor a batch ``A`` of shape (B, m, n) with exact LAPACK swap
+    semantics.  Returns ``(factors (B,m,n), ipiv (B,minmn),
+    perm (B,m), info (B,))``.  B is padded internally to a multiple of
+    the group size with identity matrices.
+    """
+    out, piv, info, B = _call_lane_kernel(A, pivot, True, interpret, group)
+    factors = jnp.transpose(out, (2, 1, 0))[:B]
+    ipiv = jnp.transpose(piv, (1, 0))[:B]
+    info = info[0, :B]
+    # compose the swap sequence into the row permutation with a
+    # vectorized log-depth folding (ipiv_to_perm per matrix would be a
+    # sequential minmn-step chain)
+    from ..utils.perm import ipiv_to_perm
+
+    perm = jax.vmap(lambda p: ipiv_to_perm(p, A.shape[1]))(ipiv)
+    return factors, ipiv, perm, info
 
 
 @functools.partial(jax.jit, static_argnames=("pivot", "interpret", "group"))
@@ -219,106 +236,10 @@ def batched_lu_pallas_noswap(
     B, m, n = A.shape
     if m != n:
         raise ValueError("batched_lu_pallas_noswap requires square matrices")
-    if interpret is None:
-        interpret = not is_tpu_backend()
-    G = group
-    pad = (-B) % G
-    if pad:
-        eye = jnp.broadcast_to(jnp.eye(m, n, dtype=A.dtype), (pad, m, n))
-        A = jnp.concatenate([A, eye], axis=0)
-    Bp = B + pad
-    nb = Bp // G
-
-    kernel = functools.partial(_batched_noswap_kernel, pivot=pivot)
-    out, prow, info = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        out_shape=(
-            jax.ShapeDtypeStruct((Bp, m, n), A.dtype),
-            jax.ShapeDtypeStruct((nb, G, n), jnp.int32),
-            jax.ShapeDtypeStruct((nb, 1, G), jnp.int32),
-        ),
-        in_specs=[
-            pl.BlockSpec(
-                (G, m, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            )
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (G, m, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, G, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, G), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ),
-        scratch_shapes=[pltpu.VMEM((G, m), jnp.float32)],
-        input_output_aliases={0: 0},
-        interpret=interpret,
-    )(A)
-    perm = prow.reshape(Bp, n)[:B]
-    info = info.reshape(Bp)[:B]
+    out, prow, info, B = _call_lane_kernel(A, pivot, False, interpret, group)
+    phys = jnp.transpose(out, (2, 1, 0))[:B]       # (B, m, n) physical order
+    perm = jnp.transpose(prow, (1, 0))[:B]         # (B, n)
+    info = info[0, :B]
     # ONE gather puts rows into logical (pivot) order
-    factors = jnp.take_along_axis(out[:B], perm[:, :, None], axis=1)
+    factors = jnp.take_along_axis(phys, perm[:, :, None], axis=1)
     return factors, perm, info
-
-
-@functools.partial(jax.jit, static_argnames=("pivot", "interpret", "group"))
-def batched_lu_pallas(
-    A: jax.Array, pivot: bool = True, interpret=None, group: int = GROUP
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Factor a batch ``A`` of shape (B, m, n), ``group`` matrices per
-    grid cell.  Returns ``(factors (B,m,n), ipiv (B,minmn),
-    perm (B,m), info (B,))``.  B is padded internally to a multiple of
-    ``group`` with identity matrices.
-    """
-    B, m, n = A.shape
-    minmn = min(m, n)
-    if interpret is None:
-        interpret = not is_tpu_backend()
-    G = group
-    pad = (-B) % G
-    if pad:
-        eye = jnp.broadcast_to(jnp.eye(m, n, dtype=A.dtype), (pad, m, n))
-        A = jnp.concatenate([A, eye], axis=0)
-    Bp = B + pad
-    nb = Bp // G
-
-    kernel = functools.partial(_batched_group_kernel, pivot=pivot)
-    out, piv, perm, info = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        out_shape=(
-            jax.ShapeDtypeStruct((Bp, m, n), A.dtype),
-            jax.ShapeDtypeStruct((nb, G, minmn), jnp.int32),
-            jax.ShapeDtypeStruct((nb, G, m), jnp.int32),
-            jax.ShapeDtypeStruct((nb, 1, G), jnp.int32),
-        ),
-        in_specs=[
-            pl.BlockSpec(
-                (G, m, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            )
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (G, m, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, G, minmn), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, G, m), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, G), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ),
-        input_output_aliases={0: 0},
-        interpret=interpret,
-    )(A)
-    piv = piv.reshape(Bp, minmn)[:B]
-    perm = perm.reshape(Bp, m)[:B]
-    info = info.reshape(Bp)[:B]
-    return out[:B], piv, perm, info

@@ -26,18 +26,22 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.batched_kernel import batched_lu_pallas, batched_lu_pallas_noswap
+from ..ops.batched_kernel import (
+    batched_lu_pallas,
+    batched_lu_pallas_noswap,
+    pick_group,
+)
 from ..ops.unblocked import unblocked_lu
 from ..models.solve import _lu_solve_impl
 from ..utils.config import LUConfig, default_config, is_tpu_backend
 from ..utils.perm import ipiv_to_perm
 
-# Above this min(m, n), the statically-unrolled per-matrix kernel gets
-# unwieldy (unroll length = minmn) and the vmapped blocked path wins.
+# Above this min(m, n), the per-matrix pivot chain gets long and the
+# vmapped blocked path wins.
 _PALLAS_BATCH_MAX_N = 128
 
 
-def _use_batched_pallas(dtype, minmn: int, config: LUConfig) -> bool:
+def _use_batched_pallas(dtype, m: int, n: int, config: LUConfig) -> bool:
     if config.backend == "xla":
         return False
     if config.backend == "pallas":
@@ -45,7 +49,11 @@ def _use_batched_pallas(dtype, minmn: int, config: LUConfig) -> bool:
     return (
         is_tpu_backend()
         and dtype == jnp.dtype(jnp.float32)
-        and 0 < minmn <= _PALLAS_BATCH_MAX_N
+        and 0 < min(m, n) <= _PALLAS_BATCH_MAX_N
+        # even a 1-matrix group must fit the VMEM working set (tall
+        # batches like (B, 4096, 64) route to the vmapped path instead
+        # of failing Mosaic compilation)
+        and pick_group(m, n, jnp.dtype(dtype).itemsize) >= 1
     )
 
 
@@ -65,7 +73,7 @@ def batched_lu_factor(
         raise ValueError(f"batched_lu_factor expects (B, m, n), got {A.shape}")
     config = config or default_config()
     B, m, n = A.shape
-    if _use_batched_pallas(A.dtype, min(m, n), config):
+    if _use_batched_pallas(A.dtype, m, n, config):
         f, ipiv, _perm, info = batched_lu_pallas(A, pivot)
         return f, ipiv, info
     f, ipiv, _perm, info = jax.vmap(lambda a: unblocked_lu(a, pivot))(A)
@@ -94,7 +102,7 @@ def batched_lu_factor_perm(
             f"batched_lu_factor_perm expects (B, n, n), got {A.shape}"
         )
     config = config or default_config()
-    if _use_batched_pallas(A.dtype, A.shape[1], config):
+    if _use_batched_pallas(A.dtype, A.shape[1], A.shape[2], config):
         return batched_lu_pallas_noswap(A, pivot)
     f, _ipiv, perm, info = jax.vmap(lambda a: unblocked_lu(a, pivot))(A)
     return f, perm, info

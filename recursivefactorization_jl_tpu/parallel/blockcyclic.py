@@ -9,20 +9,28 @@ TPU-natively:
 * columns are distributed **block-cyclically** over the mesh axis so
   every device keeps work throughout the factorization (a contiguous
   split would idle the left devices as elimination proceeds);
+* the panel loop is a ``lax.fori_loop`` with every per-panel quantity
+  at FULL height and masked by the traced panel start — so compile
+  time is one body trace regardless of the panel count (a Python
+  unroll at n=16k/w=128 would inline 128 shard_map bodies), and the
+  input is column-sharded end to end (the matrix is never replicated);
 * per panel, the owner's tall panel is **broadcast with one `psum`**
   (mask + sum is the XLA idiom for a broadcast-from-dynamic-root, and
   rides ICI);
 * the panel factorization itself is **replicated on every device**
-  instead of factored-then-broadcast: the panel factor is tiny
-  (O(m·w²) on a VMEM-resident block via ops/panel.py), while a second
-  broadcast of factors + pivot indices would cost another latency-bound
-  collective per panel — compute is cheaper than ICI latency here;
-* pivot row swaps apply only to **local columns** (a pure-local gather,
-  no communication), because the row axis is unsharded;
+  instead of factored-then-broadcast: the panel factor is tiny next to
+  the Schur update, while a second broadcast of factors + pivot
+  indices would cost another latency-bound collective per panel —
+  compute is cheaper than ICI latency here;
+* pivot row swaps apply only to **local columns** (a pure-local sparse
+  gather/scatter, no communication), because the row axis is unsharded;
 * TRSM + Schur updates run on all local column blocks with a
   global-block-index mask (`iota*D + axis_index > j`), so the SPMD
   program is identical on every device — no data-dependent control
   flow for XLA to choke on.
+
+Full-height masking trades ~2-3x extra (masked-to-zero) matmul flops
+for static shapes; the Schur matmuls stay MXU work either way.
 
 Algorithmic semantics (pivoting, info conventions, factor layout) match
 the single-device blocked schedule (ops/blocked.py; reference
@@ -42,9 +50,9 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.blocked import _offset_info
-from ..ops.panel import panel_factor
 from ..ops.trsm import unit_lower_inverse
 from ..utils.config import LUConfig, default_config, full_matmul_precision
+from ..utils.perm import vma_zero
 
 
 def _cyclic_order(n: int, w: int, D: int) -> np.ndarray:
@@ -60,6 +68,76 @@ def _cyclic_order(n: int, w: int, D: int) -> np.ndarray:
     return np.asarray(order, dtype=np.int64)
 
 
+def _offset_panel_lu(panel: jax.Array, ofs, pivot: bool):
+    """Unblocked LU of the full-height panel (n, w) whose elimination
+    starts at (traced) global row ``ofs``: local column k eliminates
+    global row ofs+k; rows < ofs are never touched.  Returns
+    ``(pf, piv (w,), perm (n,), info)`` with GLOBAL pivot-row indices
+    and the composed global row permutation of rows >= ofs.
+
+    Same per-step semantics as ops/unblocked.py (first-occurrence
+    argmax, zero pivot => no swap/scale but rank-1 runs, signed info —
+    ref src/lu.jl:289-319), re-derived with an offset so the
+    tensor-parallel panel loop can keep static shapes."""
+    n, w = panel.shape
+    rowi = jnp.arange(n)
+    coli = jnp.arange(w)
+    vz = vma_zero(panel)
+    piv0 = jnp.zeros((w,), jnp.int32) + vz
+    perm0 = jnp.arange(n, dtype=jnp.int32) + vz
+
+    def body(k, carry):
+        A, piv, perm, info = carry
+        gk = ofs + k
+        col = lax.dynamic_slice(A, (0, k), (n, 1))[:, 0]
+        if pivot:
+            abscol = jnp.where(rowi >= gk, jnp.abs(col), -jnp.inf)
+            kp = jnp.argmax(abscol).astype(jnp.int32)
+        else:
+            kp = gk.astype(jnp.int32)
+        piv = piv.at[k].set(kp)
+
+        pivval = col[kp]
+        nonzero = pivval != 0
+
+        # interchange global rows gk <-> kp (skipped on zero pivot)
+        do_swap = nonzero & (kp != gk)
+        rowgk = lax.dynamic_slice(A, (gk, 0), (1, w))[0]
+        rowkp = A[kp]
+        sel_gk = (rowi[:, None] == gk) & do_swap
+        sel_kp = (rowi[:, None] == kp) & do_swap
+        A = jnp.where(sel_gk, rowkp[None, :], A)
+        A = jnp.where(sel_kp, rowgk[None, :], A)
+        pgk, pkp = perm[gk], perm[kp]
+        perm = jnp.where(
+            do_swap, perm.at[gk].set(pkp).at[kp].set(pgk), perm
+        )
+
+        # scale rows below the (global) diagonal
+        akk_inv = jnp.where(nonzero, 1, 0) / jnp.where(nonzero, pivval, 1)
+        col = lax.dynamic_slice(A, (0, k), (n, 1))[:, 0]
+        newcol = jnp.where(
+            (rowi > gk) & nonzero, col * akk_inv.astype(A.dtype), col
+        )
+        A = lax.dynamic_update_slice(A, newcol[:, None], (0, k))
+
+        local_info = (k + 1) if pivot else -(k + 1)
+        info = jnp.where(
+            (~nonzero) & (info == 0), local_info.astype(jnp.int32), info
+        )
+
+        # rank-1 trailing update within the panel
+        lcol = jnp.where(rowi > gk, newcol, 0)
+        urow_full = lax.dynamic_slice(A, (gk, 0), (1, w))[0]
+        urow = jnp.where(coli > k, urow_full, 0)
+        A = A - lcol[:, None] * urow[None, :]
+        return A, piv, perm, info
+
+    return lax.fori_loop(
+        0, w, body, (panel, piv0, perm0, jnp.int32(0) + vz)
+    )
+
+
 @full_matmul_precision
 def _tp_lu_kernel(
     A_loc: jax.Array,
@@ -69,65 +147,78 @@ def _tp_lu_kernel(
     w: int,
     D: int,
     pivot: bool,
-    config: LUConfig,
 ):
     """shard_map body. ``A_loc``: (n, n/D) local cyclic column blocks."""
     me = lax.axis_index(axis)
     nb = n // w          # global panel count
     nbl = nb // D        # local blocks per device
-    ipiv = jnp.zeros((n,), jnp.int32)
-    info = jnp.int32(0)
+    rowi = jnp.arange(n)[:, None]
+    # ipiv/perm/info carries stay REPLICATED across the axis: every
+    # device computes them from the psum'd (replicated) panel, matching
+    # the plain inits — so the P() out_specs hold.  Only A_loc varies.
+    ipiv0 = jnp.zeros((n,), jnp.int32)
+    perm0 = jnp.arange(n, dtype=jnp.int32)
 
-    for j in range(nb):
-        o, q, s = j % D, j // D, j * w
-        # --- panel broadcast: one psum of the (n-s) x w owner block -----
-        panel_local = A_loc[s:, q * w : (q + 1) * w]
+    def body(j, carry):
+        A_loc, ipiv, perm, info = carry
+        o = j % D
+        q = j // D
+        s = j * w
+        # --- panel broadcast: one psum of the full-height owner block --
+        panel_local = lax.dynamic_slice(A_loc, (0, q * w), (n, w))
         panel = lax.psum(
             jnp.where(me == o, panel_local, jnp.zeros_like(panel_local)),
             axis,
         )
-        # --- replicated panel factorization ------------------------------
-        pf, piv_l, perm_l, linfo = panel_factor(panel, pivot, config)
-        ipiv = ipiv.at[s : s + w].set(piv_l + s)
+        # --- replicated offset panel factorization ---------------------
+        pf, piv_l, perm_l, linfo = _offset_panel_lu(panel, s, pivot)
+        ipiv = lax.dynamic_update_slice(ipiv, piv_l, (s,))
         info = _offset_info(info, linfo, s)
-        # --- local laswp: permute rows s: of ALL local columns -----------
+        # --- local laswp: sparse row scatter on ALL local columns ------
         if pivot:
-            # sparse form: w swaps move at most 2w rows (see
-            # ops/blocked.py) — gather+scatter only those.
+            # a composition of w swaps moves at most 2w rows — gather +
+            # scatter only those (see ops/blocked.py)
             (aff,) = jnp.nonzero(
-                perm_l != jnp.arange(n - s, dtype=perm_l.dtype),
-                size=min(2 * w, n - s),
+                perm_l != jnp.arange(n, dtype=perm_l.dtype),
+                size=2 * w,
                 fill_value=0,
             )
             src = perm_l[aff]
-            A_loc = A_loc.at[s + aff, :].set(A_loc[s + src, :])
-        # --- owner stores the factored panel -----------------------------
-        stored = A_loc.at[s:, q * w : (q + 1) * w].set(pf)
+            A_loc = A_loc.at[aff, :].set(A_loc[src, :])
+            perm = perm.at[aff].set(perm[src])
+        # --- owner stores the factored panel ---------------------------
+        stored = lax.dynamic_update_slice(A_loc, pf, (0, q * w))
         A_loc = jnp.where(me == o, stored, A_loc)
-        # --- masked TRSM + Schur on trailing local blocks -----------------
-        if j + 1 < nb:
-            L11_inv = unit_lower_inverse(pf[:w, :w])
-            L21 = pf[w:, :]  # (n-s-w, w)
-            Ablk = A_loc.reshape(n, nbl, w)
-            glob = jnp.arange(nbl, dtype=jnp.int32) * D + me
-            mask = (glob > j)[None, :, None]
-            A12 = Ablk[s : s + w]  # (w, nbl, w)
-            U12 = jnp.where(
-                mask,
-                jnp.einsum(
-                    "ik,kbj->ibj", L11_inv, A12,
-                    preferred_element_type=A_loc.dtype,
-                ),
-                jnp.zeros_like(A12),
-            )
-            Ablk = Ablk.at[s : s + w].set(jnp.where(mask, U12, A12))
-            upd = jnp.einsum(
-                "ik,kbj->ibj", L21, U12, preferred_element_type=A_loc.dtype
-            )  # U12 is zero outside the mask -> update is a no-op there
-            Ablk = Ablk.at[s + w :].add(-upd)
-            A_loc = Ablk.reshape(n, nbl * w)
+        # --- masked TRSM + Schur on trailing local blocks ---------------
+        L11 = lax.dynamic_slice(pf, (s, 0), (w, w))
+        L11_inv = unit_lower_inverse(L11)
+        L21 = jnp.where(rowi >= s + w, pf, 0)       # (n, w), zero elsewhere
+        Ablk = A_loc.reshape(n, nbl, w)
+        glob = jnp.arange(nbl, dtype=jnp.int32) * D + me
+        mask = (glob > j)[None, :, None]
+        A12 = lax.dynamic_slice(Ablk, (s, 0, 0), (w, nbl, w))
+        U12 = jnp.where(
+            mask,
+            jnp.einsum(
+                "ik,kbj->ibj", L11_inv, A12,
+                preferred_element_type=A_loc.dtype,
+            ),
+            jnp.zeros_like(A12),
+        )
+        Ablk = lax.dynamic_update_slice(
+            Ablk, jnp.where(mask, U12, A12), (s, 0, 0)
+        )
+        # U12 is zero outside the mask and L21 zero at rows < s+w, so
+        # the full-shape product is a no-op everywhere it must be
+        upd = jnp.einsum(
+            "ik,kbj->ibj", L21, U12, preferred_element_type=A_loc.dtype
+        )
+        A_loc = (Ablk - upd).reshape(n, nbl * w)
+        return A_loc, ipiv, perm, info
 
-    return A_loc, ipiv, info
+    return lax.fori_loop(
+        0, nb, body, (A_loc, ipiv0, perm0, jnp.int32(0))
+    )
 
 
 def tp_lu_factor(
@@ -145,8 +236,25 @@ def tp_lu_factor(
     column-wise over the mesh. ``A`` is identity-padded up to a multiple
     of ``D * panel_width`` internally (padding rows/columns cannot win a
     pivot in the leading n columns, so the leading n x n factors and
-    ipiv[:n] are unchanged).
+    ipiv[:n] are unchanged).  The input is placed column-sharded (never
+    replicated); the cyclic reorder runs as one sharded gather under jit.
     """
+    F, ipiv, _perm, info = tp_lu_factor_p(
+        A, mesh, axis, panel_width, pivot, config
+    )
+    return F, ipiv, info
+
+
+def tp_lu_factor_p(
+    A: jax.Array,
+    mesh: Mesh,
+    axis: str = "tp",
+    panel_width: int = 128,
+    pivot: bool = True,
+    config: Optional[LUConfig] = None,
+):
+    """Like :func:`tp_lu_factor` but also returns the composed row
+    permutation: ``(factors, ipiv, perm, info)``."""
     config = config or default_config()
     n = A.shape[0]
     if A.ndim != 2 or A.shape[1] != n:
@@ -163,30 +271,33 @@ def tp_lu_factor(
         A = Ap
     N = n + npad
 
-    order = _cyclic_order(N, w, D)
-    inv_order = np.argsort(order)
+    order_np = _cyclic_order(N, w, D)
+    order = jnp.asarray(order_np, dtype=jnp.int32)
+    inv_order = jnp.asarray(np.argsort(order_np), dtype=jnp.int32)
 
     kernel = functools.partial(
-        _tp_lu_kernel, axis=axis, n=N, w=w, D=D, pivot=pivot, config=config
+        _tp_lu_kernel, axis=axis, n=N, w=w, D=D, pivot=pivot
     )
     shard_fn = jax.shard_map(
         kernel,
         mesh=mesh,
         in_specs=P(None, axis),
-        out_specs=(P(None, axis), P(), P()),
+        out_specs=(P(None, axis), P(), P(), P()),
     )
+    col_sharding = NamedSharding(mesh, P(None, axis))
 
     @jax.jit
     def run(A):
-        A_store = A[:, order]
-        F_store, ipiv, info = shard_fn(A_store)
-        F = F_store[:, inv_order]
-        return F[:n, :n], ipiv[:n], info
+        # cyclic reorder as a sharded gather (XLA inserts the all-to-all)
+        A_store = lax.with_sharding_constraint(
+            jnp.take(A, order, axis=1), col_sharding
+        )
+        F_store, ipiv, perm, info = shard_fn(A_store)
+        F = jnp.take(F_store, inv_order, axis=1)
+        return F[:n, :n], ipiv[:n], perm, info
 
-    F, ipiv, info = run(
-        jax.device_put(A, NamedSharding(mesh, P(None, None)))
-    )
-    return F, ipiv, info
+    F, ipiv, perm, info = run(jax.device_put(A, col_sharding))
+    return F, ipiv, perm, info
 
 
 def tp_lu(
@@ -200,7 +311,9 @@ def tp_lu(
     """Tensor-parallel :func:`~..models.lu.lu` — returns an LU object."""
     from ..models.lu import LU
 
-    F, ipiv, info = tp_lu_factor(
+    n = A.shape[0]
+    F, ipiv, perm, info = tp_lu_factor_p(
         A, mesh, axis, panel_width, pivot, config
     )
-    return LU(F, ipiv, info, pivoted=pivot)
+    perm = jnp.where(perm[:n] < n, perm[:n], 0)  # padded rows can't appear
+    return LU(F, ipiv, info, pivoted=pivot, perm=perm)

@@ -71,9 +71,10 @@ def test_pad():
 
 def test_wilkinson_rbt_solve():
     """End-to-end RBT accuracy on adversarial (worst pivot growth)
-    matrices; sizes straddle multiples of 4 to exercise pad!
-    (ref test/runtests.jl:80-88)."""
-    for n in [790, 797, 800, 803]:
+    matrices; the full n = 790..810 reference sweep covers every mod-4
+    residue of pad! (ref test/runtests.jl:80-88; the solve jit keys on
+    the padded size, so this compiles 6 programs, not 21)."""
+    for n in range(790, 811):
         A = wilkinson(n)
         b = RNG.rand(n)
         ws = rf.butterfly_workspace(jnp.asarray(A), jnp.asarray(b))
@@ -81,6 +82,27 @@ def test_wilkinson_rbt_solve():
         assert x.shape == (n,)
         err = np.linalg.norm(A @ x - b)
         assert err <= 1e-10, (n, err)
+
+
+def test_workspace_lazy_uv():
+    """Dense U/V are not stored in the workspace (the solve uses the
+    implicit applies); ``ws.UV()`` materializes them on demand and the
+    implicit pipeline is consistent with them."""
+    n = 20
+    A = RNG.rand(n, n)
+    b = RNG.rand(n)
+    ws = rf.butterfly_workspace(jnp.asarray(A), jnp.asarray(b))
+    assert ws.A.shape == (n, n)  # already a multiple of 4
+    U, V = ws.UV()
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(bf.apply_ut)(ws.uv, ws.b)),
+        np.asarray(U).T @ np.asarray(ws.b),
+        atol=1e-12,
+    )
+    At = np.asarray(jax.jit(bf.butterfly_mul)(ws.A, ws.uv))
+    np.testing.assert_allclose(
+        At, np.asarray(U).T @ A @ np.asarray(V), atol=1e-11
+    )
 
 
 def test_rbt_on_random():

@@ -23,13 +23,15 @@ RNG = np.random.RandomState(12)  # ref test/runtests.jl:7 Random.seed!(12)
 BLOCKED16 = rf.LUConfig(panel_width=16, small_threshold=0)
 BLOCKED64 = rf.LUConfig(panel_width=64, small_threshold=0)
 
-# dtype -> sizes (square + fat (s, s+2) each); f64 mirrors the reference's
-# [1..10; 50,130,300] sweep, others are spot checks of the same machinery.
+# dtype -> sizes (square + fat (s, s+2) each); f64 and complex128 mirror
+# the reference's [1..10; 50,130,300] sweep over every eltype
+# (ref test/runtests.jl:32-40); f32/c64 are spot checks of the same
+# machinery at the lower-precision tolerances.
 SWEEP = {
     np.float64: list(range(1, 11)) + [50, 130],
     np.float32: [6, 10, 50],
-    np.complex128: [8, 50],
-    np.complex64: [9, 33],
+    np.complex128: list(range(1, 11)) + [50, 130],
+    np.complex64: [9, 33, 50],
 }
 
 
@@ -53,13 +55,15 @@ def check_lu(A, F, pivoted, loose=False, solve=True):
 
     if m == n and solve and m > 0:
         b = np.asarray(rf.lu_solve(F, jnp.asarray(A[:, -1])))
-        if np.all(np.isfinite(b)):
-            rhs = np.zeros(n, dtype=A.dtype)
-            rhs[-1] = 1
-            atol = 100 * E if (pivoted and not loose) else 100 * np.sqrt(E)
-            assert np.allclose(b, rhs, atol=atol), (
-                f"solve error {np.max(np.abs(b - rhs))} > {atol}"
-            )
+        assert np.all(np.isfinite(b)), (
+            f"solve produced non-finite values ({A.shape}, {A.dtype})"
+        )
+        rhs = np.zeros(n, dtype=A.dtype)
+        rhs[-1] = 1
+        atol = 100 * E if (pivoted and not loose) else 100 * np.sqrt(E)
+        assert np.allclose(b, rhs, atol=atol), (
+            f"solve error {np.max(np.abs(b - rhs))} > {atol}"
+        )
 
 
 @pytest.mark.parametrize(
@@ -108,20 +112,30 @@ def test_blocked_schedule(pivot):
         check_lu(A, F, pivot, solve=False)
 
 
+@pytest.mark.parametrize(
+    "dtype", [np.float64, np.float32, np.complex128, np.complex64],
+    ids=lambda d: np.dtype(d).name,
+)
 @pytest.mark.parametrize("pivot", [True, False])
-def test_singular_info(pivot):
+def test_singular_info(pivot, dtype):
     """Zero out a column; info must record the first zero pivot exactly
-    like LAPACK/stdlib (ref test/runtests.jl:57-62), on both the
-    unblocked and blocked paths (panel info offsetting,
+    like LAPACK/stdlib, over every eltype (ref test/runtests.jl:57-62),
+    on both the unblocked and blocked paths (panel info offsetting,
     ref src/lu.jl:240-247)."""
+    getrf = {
+        np.float64: scipy.linalg.lapack.dgetrf,
+        np.float32: scipy.linalg.lapack.sgetrf,
+        np.complex128: scipy.linalg.lapack.zgetrf,
+        np.complex64: scipy.linalg.lapack.cgetrf,
+    }[dtype]
     for s in [4, 10, 50]:
-        A = rand_mat((s, s), np.float64)
+        A = rand_mat((s, s), dtype)
         j = RNG.randint(0, s)
         A[:, j] = 0
         F = rf.lu(jnp.asarray(A), pivot)
         info = int(F.info)
         if pivot:
-            _, _, info_sp = scipy.linalg.lapack.dgetrf(A)
+            _, _, info_sp = getrf(A)
             assert info == info_sp, (info, info_sp, s, j)
         else:
             # No-pivot convention: negative info (ref src/lu.jl:24-25).
@@ -142,6 +156,63 @@ def test_transpose_solve():
     x = np.asarray(rf.lu_solve(F, jnp.asarray(b), trans=True))
     x_ref = np.linalg.solve(A.T, b)
     np.testing.assert_allclose(x, x_ref, atol=1e-10)
+    # string spelling and the LU method route to the same place
+    xs = np.asarray(F.solve(jnp.asarray(b), trans="T"))
+    np.testing.assert_array_equal(x, xs)
+
+
+@pytest.mark.parametrize("pivot", [True, False])
+def test_adjoint_solve_complex(pivot):
+    """Conjugate-transpose solve A^H x = b for complex dtypes — the
+    Adjoint wrapper of the reference (ref src/lu.jl:81-83).  For real
+    dtypes "H" must coincide with "T"."""
+    n = 40
+    A = rand_mat((n, n), np.complex128) + n * np.eye(n)
+    b = rand_mat((n,), np.complex128)
+    F = rf.lu(jnp.asarray(A), pivot)
+    xh = np.asarray(rf.lu_solve(F, jnp.asarray(b), trans="H"))
+    np.testing.assert_allclose(A.conj().T @ xh, b, atol=1e-10)
+    xt = np.asarray(rf.lu_solve(F, jnp.asarray(b), trans="T"))
+    np.testing.assert_allclose(A.T @ xt, b, atol=1e-10)
+    assert not np.allclose(xh, xt)  # conjugation must matter
+    # real dtype: H == T exactly
+    Ar = rand_mat((n, n), np.float64)
+    br = rand_mat((n,), np.float64)
+    Fr = rf.lu(jnp.asarray(Ar), pivot)
+    np.testing.assert_array_equal(
+        np.asarray(rf.lu_solve(Fr, jnp.asarray(br), trans="H")),
+        np.asarray(rf.lu_solve(Fr, jnp.asarray(br), trans="T")),
+    )
+
+
+def test_trans_normalization():
+    from recursivefactorization_jl_tpu.models.solve import normalize_trans
+
+    assert normalize_trans(False) == normalize_trans("N") == 0
+    assert normalize_trans(True) == normalize_trans("t") == 1
+    assert normalize_trans(2) == normalize_trans("H") == 2
+    assert normalize_trans("c") == normalize_trans("adjoint") == 2
+    with pytest.raises(ValueError):
+        normalize_trans("x")
+
+
+def test_fat_matrix_solve():
+    """Factor a fat (m < n) matrix, then solve with the leading m x m
+    square factors — the reference's fat path ends in TRSM on the
+    trailing columns (ref _recurse! src/lu.jl:140-146): U[:, m:] must
+    equal L^-1 P A[:, m:]."""
+    m, n = 48, 80
+    A = rand_mat((m, n), np.float64)
+    F = rf.lu(jnp.asarray(A), config=BLOCKED16)
+    L = np.tril(np.asarray(F.factors)[:, :m], -1) + np.eye(m)
+    U = np.triu(np.asarray(F.factors)[:m, :])
+    p = np.asarray(F.p)
+    np.testing.assert_allclose(L @ U, A[p, :], atol=1e-12)
+    # the square sub-factorization solves against the leading block
+    Fsq = rf.LU(F.factors[:, :m], F.ipiv, F.info, perm=F.perm)
+    b = rand_mat((m,), np.float64)
+    x = np.asarray(rf.lu_solve(Fsq, jnp.asarray(b)))
+    np.testing.assert_allclose(A[:, :m] @ x, b, atol=1e-10)
 
 
 def test_lu_inplace_and_factor():
@@ -168,6 +239,51 @@ def test_matrix_rhs_solve():
     F = rf.lu(jnp.asarray(A))
     X = np.asarray(rf.lu_solve(F, jnp.asarray(B)))
     np.testing.assert_allclose(A @ X, B, atol=1e-10)
+
+
+def test_bf16_schur_with_refinement():
+    """schur_precision='bf16' (single-pass MXU Schur updates) inflates
+    the factorization error by the bf16 product eps; 2 refinement steps
+    at f32 residual precision must bring the SOLVE back within the
+    reference's pivoted gate 100*(20*n*eps) (ref test/runtests.jl:17,24).
+    """
+    n = 256
+    A = RNG.rand(n, n).astype(np.float32)
+    b = A[:, -1].copy()
+    cfg = rf.LUConfig(
+        panel_width=64, small_threshold=0, schur_precision="bf16"
+    )
+    F = rf.lu(jnp.asarray(A), config=cfg)
+    assert int(F.info) == 0
+    eps = np.finfo(np.float32).eps
+    E = 20 * n * eps
+    rhs = np.zeros(n, dtype=np.float32)
+    rhs[-1] = 1
+    x2 = np.asarray(
+        rf.lu_solve_refined(F, jnp.asarray(A), jnp.asarray(b), iters=2)
+    )
+    err2 = np.max(np.abs(x2 - rhs))
+    assert err2 < 100 * E, f"refined solve error {err2} >= {100 * E}"
+    # refinement must actually help vs the raw bf16-factor solve
+    x0 = np.asarray(rf.lu_solve(F, jnp.asarray(b)))
+    err0 = np.max(np.abs(x0 - rhs))
+    assert err2 <= err0 * 1.5 + 100 * E
+
+
+def test_refined_solve_trans_and_matrix_rhs():
+    n = 64
+    A = rand_mat((n, n), np.float64)
+    B = rand_mat((n, 3), np.float64)
+    F = rf.lu(jnp.asarray(A))
+    X = np.asarray(
+        rf.lu_solve_refined(F, jnp.asarray(A), jnp.asarray(B), iters=1)
+    )
+    np.testing.assert_allclose(A @ X, B, atol=1e-11)
+    bt = rand_mat((n,), np.float64)
+    xt = np.asarray(
+        rf.lu_solve_refined(F, jnp.asarray(A), jnp.asarray(bt), iters=1, trans="T")
+    )
+    np.testing.assert_allclose(A.T @ xt, bt, atol=1e-11)
 
 
 def test_empty_and_tiny():

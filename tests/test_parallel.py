@@ -57,6 +57,46 @@ def test_batched_solve():
     )
 
 
+def test_batched_perm_matches_swap_kernels():
+    """batched_lu_factor_perm (no-swap kernel) and batched_lu_factor
+    (swap kernel) must agree on factors/perm/info for generic matrices
+    (pivot ties are measure-zero); backend='pallas' forces both Pallas
+    kernels (interpret mode on CPU)."""
+    from recursivefactorization_jl_tpu.parallel import (
+        batched_lu_factor_perm,
+        batched_lu_solve_perm,
+    )
+    from recursivefactorization_jl_tpu.utils.perm import ipiv_to_perm
+
+    cfg = rf.LUConfig(backend="pallas")
+    B, n = 5, 12
+    A = RNG.rand(B, n, n).astype(np.float32)
+    fs, ipiv, info_s = jax.device_get(
+        batched_lu_factor(jnp.asarray(A), True, cfg)
+    )
+    fp, perm, info_p = jax.device_get(
+        batched_lu_factor_perm(jnp.asarray(A), True, cfg)
+    )
+    np.testing.assert_array_equal(info_s, info_p)
+    perm_s = np.stack(
+        [np.asarray(ipiv_to_perm(jnp.asarray(ipiv[i]), n)) for i in range(B)]
+    )
+    np.testing.assert_array_equal(perm_s, perm)
+    np.testing.assert_allclose(fs, fp, atol=1e-6)
+    # and both match the vmapped pure-JAX fallback
+    f0, ipiv0, info0 = jax.device_get(batched_lu_factor(jnp.asarray(A)))
+    np.testing.assert_array_equal(ipiv, ipiv0)
+    np.testing.assert_allclose(fs, f0, atol=1e-6)
+    # solve through the perm variant
+    b = RNG.rand(B, n).astype(np.float32)
+    x = np.asarray(
+        batched_lu_solve_perm(jnp.asarray(fp), jnp.asarray(perm), jnp.asarray(b))
+    )
+    np.testing.assert_allclose(
+        np.einsum("bij,bj->bi", A, x), b, atol=1e-3
+    )
+
+
 def test_sharded_batched_dp():
     mesh = mesh_1d("dp")
     D = mesh.shape["dp"]
@@ -117,6 +157,21 @@ def test_tp_lu_padding():
     assert int(info) == 0
     resid = lu_residual(A, F, ipiv)
     assert resid < 20 * n * np.finfo(np.float64).eps
+
+
+def test_tp_lu_large_f32():
+    """The scale-motivated configuration: n=2048, w=128 over the full
+    8-device mesh.  The panel loop is a fori_loop (one body trace), so
+    compile time is independent of the panel count; input stays
+    column-sharded."""
+    mesh = mesh_1d("tp")
+    n, w = 2048, 128
+    A = RNG.rand(n, n).astype(np.float32)
+    F, ipiv, info = tp_lu_factor(jnp.asarray(A), mesh, "tp", panel_width=w)
+    assert int(info) == 0
+    resid = lu_residual(A, F, ipiv)
+    eps = np.finfo(np.float32).eps
+    assert resid < 20 * n * eps, resid
 
 
 def test_tp_lu_singular_info():

@@ -1,0 +1,161 @@
+"""Opt-in real-TPU smoke suite: ``RF_TPU_TESTS=1 pytest -m tpu tests/``.
+
+Runs every Pallas kernel NON-interpreted (compiled by Mosaic on the
+chip) and cross-checks against host numpy/scipy oracles.  The default
+CPU suite validates the same kernels only through the Pallas
+interpreter, whose semantics deviate from Mosaic exactly where TPU
+kernels usually break (minor-dim insertion, SSA carries, dynamic
+indexing rules) — this suite closes that gap.
+
+All assertions are f32-tolerance (f64 on TPU is emulated); oracle math
+runs in numpy f64 on the host.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import recursivefactorization_jl_tpu as rf
+
+pytestmark = pytest.mark.tpu
+
+RNG = np.random.RandomState(42)
+
+
+def _on_tpu():
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+requires_tpu = pytest.mark.skipif(
+    not _on_tpu(), reason="needs the real TPU backend"
+)
+
+
+def np_residual(A, factors, perm):
+    A = np.asarray(A, dtype=np.float64)
+    f = np.asarray(factors, dtype=np.float64)
+    m, n = f.shape
+    minmn = min(m, n)
+    L = np.tril(f[:, :minmn], -1) + np.eye(m, minmn)
+    U = np.triu(f[:minmn, :])
+    return np.max(np.abs(L @ U - A[np.asarray(perm), :]))
+
+
+@requires_tpu
+@pytest.mark.parametrize("variant", ["shadow", "basic"])
+def test_panel_kernel_on_chip(variant):
+    from recursivefactorization_jl_tpu.ops.panel import panel_factor_pallas
+
+    m, w = 512, 128
+    A = RNG.standard_normal((m, w)).astype(np.float32)
+    out, piv, perm, info = jax.device_get(
+        panel_factor_pallas(
+            jnp.asarray(A), True, interpret=False, micro=32, variant=variant
+        )
+    )
+    assert int(info) == 0
+    assert np_residual(A, out, perm) < 20 * m * np.finfo(np.float32).eps
+    # pivot sequence matches scipy exactly (first-occurrence argmax)
+    import scipy.linalg
+
+    _, piv_sp = scipy.linalg.lu_factor(A)
+    np.testing.assert_array_equal(piv, piv_sp)
+
+
+@requires_tpu
+@pytest.mark.parametrize("pivot", [True, False])
+def test_panel_zero_pivot_on_chip(pivot):
+    from recursivefactorization_jl_tpu.ops.panel import panel_factor_pallas
+
+    m, w = 256, 64
+    A = RNG.standard_normal((m, w)).astype(np.float32)
+    A[:, 10] = 0.0
+    out, piv, perm, info = jax.device_get(
+        panel_factor_pallas(jnp.asarray(A), pivot, interpret=False, micro=32)
+    )
+    assert int(info) == (11 if pivot else -11)
+
+
+@requires_tpu
+def test_blocked_lu_on_chip():
+    n = 512
+    A = RNG.standard_normal((n, n)).astype(np.float32)
+    cfg = rf.LUConfig(small_threshold=0)  # force the blocked schedule
+    F = rf.lu(jnp.asarray(A), config=cfg)
+    assert int(F.info) == 0
+    resid = np_residual(A, F.factors, F.p)
+    assert resid < 20 * n * np.finfo(np.float32).eps
+    # solve through the chip too
+    b = np.asarray(A[:, -1])
+    x = np.asarray(rf.lu_solve(F, jnp.asarray(b)))
+    rhs = np.zeros(n, dtype=np.float32)
+    rhs[-1] = 1
+    assert np.max(np.abs(x - rhs)) < 100 * 20 * n * np.finfo(np.float32).eps
+
+
+@requires_tpu
+def test_bf16_schur_refined_on_chip():
+    n = 1024
+    A = RNG.standard_normal((n, n)).astype(np.float32)
+    cfg = rf.LUConfig(schur_precision="bf16", small_threshold=0)
+    F = rf.lu(jnp.asarray(A), config=cfg)
+    assert int(F.info) == 0
+    b = np.asarray(A[:, -1])
+    x = np.asarray(
+        rf.lu_solve_refined(F, jnp.asarray(A), jnp.asarray(b), iters=2)
+    )
+    rhs = np.zeros(n, dtype=np.float32)
+    rhs[-1] = 1
+    E = 20 * n * np.finfo(np.float32).eps
+    assert np.max(np.abs(x - rhs)) < 100 * E
+
+
+@requires_tpu
+@pytest.mark.parametrize("swap", [True, False])
+def test_batched_kernels_on_chip(swap):
+    from recursivefactorization_jl_tpu.ops.batched_kernel import (
+        batched_lu_pallas,
+        batched_lu_pallas_noswap,
+    )
+
+    B, n = 300, 64
+    A = RNG.standard_normal((B, n, n)).astype(np.float32)
+    A[7, :, 3] = 0.0  # one singular matrix in the batch
+    if swap:
+        f, ipiv, perm, info = jax.device_get(
+            batched_lu_pallas(jnp.asarray(A), True, interpret=False)
+        )
+    else:
+        f, perm, info = jax.device_get(
+            batched_lu_pallas_noswap(jnp.asarray(A), True, interpret=False)
+        )
+    eps = np.finfo(np.float32).eps
+    assert int(info[7]) == 4
+    for i in [0, 7, 123, 299]:
+        if int(info[i]) != 0:
+            continue
+        assert np_residual(A[i], f[i], perm[i]) < 20 * n * eps, i
+    # spot-check ipiv parity with scipy on the swap kernel
+    if swap:
+        import scipy.linalg
+
+        _, piv_sp = scipy.linalg.lu_factor(A[0])
+        np.testing.assert_array_equal(ipiv[0], piv_sp)
+
+
+@requires_tpu
+def test_dispatch_small_fused_on_chip():
+    """The small-matrix escape (ref src/lu.jl:70 analog): one fused
+    whole-matrix kernel below the threshold."""
+    n = 200
+    A = RNG.standard_normal((n, n)).astype(np.float32)
+    F = rf.lu(jnp.asarray(A))  # default small_threshold=256 -> fused path
+    assert int(F.info) == 0
+    assert np_residual(A, F.factors, F.p) < 20 * n * np.finfo(np.float32).eps
