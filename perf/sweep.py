@@ -8,6 +8,10 @@ perf/lu.jl:48-59).
 Run on the real chip:   python perf/sweep.py
 Options:                --sizes 256,512,1024,2048,4096 --dtype float32
                         --out perf/results.json
+                        --batched   (10k x 64 x 64 batched workload)
+                        --rect      (fat/tall rectangular shapes)
+                        --rbt       (RBT pivot-free vs pivoted on an
+                                     ill-conditioned matrix: time + accuracy)
 
 Writes one JSON record per (size, variant) and prints a table.
 """
@@ -23,6 +27,9 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -51,7 +58,7 @@ def best_time(fn, A, reps: int = 3) -> float:
 def variants(dtype):
     from recursivefactorization_jl_tpu.models.lu import _dispatch_factor
 
-    return {
+    out = {
         # default adaptive schedule
         "rf_default": lambda a: _dispatch_factor(
             a, True, rf.default_config()
@@ -63,6 +70,12 @@ def variants(dtype):
         # XLA/LAPACK baseline (the OpenBLAS lu! analog)
         "xla_lu": lambda a: jax.scipy.linalg.lu_factor(a)[0],
     }
+    if dtype == jnp.dtype(jnp.float32):
+        # single-pass MXU Schur bulk (pair with lu_solve_refined)
+        out["rf_bf16"] = lambda a: _dispatch_factor(
+            a, True, rf.LUConfig(schur_precision="bf16")
+        )[0]
+    return out
 
 
 def main() -> None:
@@ -74,6 +87,10 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--batched", action="store_true",
                     help="also sweep the 10k x 64 x 64 batched workload")
+    ap.add_argument("--rect", action="store_true",
+                    help="also sweep fat/tall rectangular shapes")
+    ap.add_argument("--rbt", action="store_true",
+                    help="also compare RBT pivot-free vs pivoted LU solve")
     args = ap.parse_args()
 
     sizes = [int(s) for s in args.sizes.split(",")]
@@ -97,17 +114,32 @@ def main() -> None:
             )
         print("\t".join(row))
 
+    if args.rect:
+        # the reference sweeps (s, s+2) fat shapes (test/runtests.jl:39);
+        # at perf scale use block-fat and block-tall panels
+        from recursivefactorization_jl_tpu.models.lu import _dispatch_factor
+
+        for (m, n) in [(2048, 4096), (4096, 2048), (4096, 4224)]:
+            A = jnp.asarray(rng.standard_normal((m, n)), dtype=dtype)
+            fn = lambda a: _dispatch_factor(a, True, rf.default_config())[0]
+            t = best_time(fn, A)
+            gf = luflop(m, n) / t / 1e9
+            print(f"rect {m}x{n}\t{gf:.1f} GFLOP/s\t{t * 1e3:.2f} ms")
+            records.append(
+                {"variant": "rf_default", "m": m, "n": n,
+                 "dtype": dtype.name, "time_s": t, "gflops": gf}
+            )
+
     if args.batched:
         B, n = 10000, 64
-        from recursivefactorization_jl_tpu.parallel import batched_lu_factor
+        from recursivefactorization_jl_tpu.parallel import (
+            batched_lu_factor,
+            batched_lu_factor_perm,
+        )
 
         A = jnp.asarray(
             rng.standard_normal((B, n, n)), dtype=jnp.float32
         )
-        from recursivefactorization_jl_tpu.parallel import (
-            batched_lu_factor_perm,
-        )
-
         for name, fn in {
             "rf_batched": lambda a: batched_lu_factor(a, True)[0],
             "rf_batched_perm": lambda a: batched_lu_factor_perm(a, True)[0],
@@ -121,6 +153,41 @@ def main() -> None:
             records.append(
                 {"variant": name, "n": n, "batch": B,
                  "dtype": "float32", "time_s": t, "gflops": gf}
+            )
+
+    if args.rbt:
+        # ill-conditioned worst-growth matrix: pivoted LU solve vs the
+        # RBT pivot-free pipeline (reference positions RBT exactly here,
+        # test/runtests.jl:80-88). Accuracy measured as ||Ax - b||_inf.
+        n = 2048
+        W = np.eye(n) + np.tril(-np.ones((n, n)), -1)
+        W[:, -1] = 1.0
+        A = jnp.asarray(W, dtype=dtype)
+        b = jnp.asarray(rng.standard_normal(n), dtype=dtype)
+
+        def pivoted_solve(a):
+            F = rf.lu(a)
+            return rf.lu_solve(F, b)[None, :]
+
+        ws = rf.butterfly_workspace(A, b)
+
+        def rbt_solve(a):
+            ws2 = rf.BWorkspace(A=a, b=ws.b, uv=ws.uv, n=ws.n)
+            return rf.butterfly_solve(ws2)[None, :]
+
+        for name, fn in {
+            "pivoted_solve": pivoted_solve,
+            "rbt_solve": rbt_solve,
+        }.items():
+            t = best_time(fn, A if name == "pivoted_solve" else ws.A)
+            x = np.asarray(
+                fn(A if name == "pivoted_solve" else ws.A)
+            )[0]
+            err = float(np.max(np.abs(W @ x.astype(np.float64) - np.asarray(b))))
+            print(f"{name}\tn={n}\t{t * 1e3:.2f} ms\t|Ax-b|_inf={err:.2e}")
+            records.append(
+                {"variant": name, "n": n, "dtype": dtype.name,
+                 "time_s": t, "abs_err": err, "matrix": "wilkinson"}
             )
 
     if args.out:
