@@ -27,7 +27,17 @@ def schur_update(
     B: jax.Array,
     precision: str = "float32",
 ) -> jax.Array:
-    """Return ``C - A @ B`` with the requested MXU compute precision."""
+    """Return ``C - A @ B`` with the requested MXU compute precision.
+
+    precision:
+    * 'float32' — 6-pass f32 emulation (HIGHEST), eps ~ 2^-24/product;
+    * 'bf16x3'  — 3-pass bf16 splitting (HIGH), eps ~ 2^-21-ish: ~2x the
+      HIGHEST matmul throughput at a few-bit residual inflation;
+    * 'bf16'    — single-pass bf16 multiplies, f32 accumulation: fastest
+      (~6x HIGHEST), pair with
+      :func:`~..models.solve.lu_solve_refined` to recover f32 solve
+      accuracy.
+    """
     if precision == "bf16" and A.dtype == jnp.float32:
         # explicit DEFAULT so the surrounding full_matmul_precision
         # context doesn't upcast the deliberate single-pass bf16 product
@@ -36,6 +46,11 @@ def schur_update(
             B.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
             precision=lax.Precision.DEFAULT,
+        )
+    elif precision == "bf16x3" and A.dtype == jnp.float32:
+        prod = jnp.dot(
+            A, B, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGH,
         )
     else:
         prod = jnp.dot(

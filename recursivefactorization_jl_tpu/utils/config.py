@@ -42,8 +42,9 @@ class LUConfig:
     # min(m,n) at or below which a single fused kernel factors the whole
     # matrix (VMEM-resident). None -> derived from dtype/VMEM.
     small_threshold: int = 256
-    # 'float32' | 'bf16' : compute precision of the Schur-complement matmul
-    # (accumulation is always f32 for 'bf16').
+    # 'float32' (6-pass HIGHEST) | 'bf16x3' (3-pass HIGH) | 'bf16'
+    # (single-pass) : compute precision of the Schur-complement matmul
+    # (accumulation is always f32).  See ops/schur.py.
     schur_precision: str = "float32"
     # 'auto' | 'pallas' | 'xla' : kernel backend. 'auto' = Pallas on TPU,
     # pure-XLA elsewhere (the f32/f64 fast path vs generic fallback split of

@@ -118,6 +118,21 @@ def test_bf16_schur_refined_on_chip():
 
 
 @requires_tpu
+def test_bf16x3_schur_residual_on_chip():
+    """schur_precision='bf16x3' (3-pass HIGH) must stay within a few
+    bits of the f32 pivoted residual gate — it is only meaningful on
+    TPU hardware (CPU HIGH == exact f32)."""
+    n = 1024
+    A = RNG.standard_normal((n, n)).astype(np.float32)
+    cfg = rf.LUConfig(schur_precision="bf16x3", small_threshold=0)
+    F = rf.lu(jnp.asarray(A), config=cfg)
+    assert int(F.info) == 0
+    resid = np_residual(A, F.factors, F.p)
+    # 8x headroom over the pivoted gate for the ~3 lost mantissa bits
+    assert resid < 8 * 20 * n * np.finfo(np.float32).eps
+
+
+@requires_tpu
 @pytest.mark.parametrize("swap", [True, False])
 def test_batched_kernels_on_chip(swap):
     from recursivefactorization_jl_tpu.ops.batched_kernel import (
