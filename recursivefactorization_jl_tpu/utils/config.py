@@ -30,7 +30,14 @@ from typing import Optional
 
 LANE = 128           # TPU lane count / MXU dimension
 SUBLANE_F32 = 8      # f32 sublane tile
-VMEM_BUDGET_BYTES = 14 * 1024 * 1024  # leave headroom of the ~16MiB VMEM
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024  # conservative per-kernel budget
+# The panel kernel's scoped-vmem footprint is ~6x the raw panel bytes
+# (aliased staging + shadow scratch + compiler scratch).  Empirically a
+# 4096x256 f32 panel (25 MiB scoped by that estimate) compiles AND is
+# the fastest schedule on v5e (w256 8.3 ms vs w128 8.8 ms at n=4096),
+# so the panel-width picker gets its own, larger budget; the
+# conservative constant above still bounds the batched kernels.
+PANEL_VMEM_BUDGET_BYTES = 26 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,9 +90,8 @@ class LUConfig:
         # ~5.5-6x the raw panel bytes (input + output staging inside
         # Mosaic, the lane-padded (m, 128) int32 perm vector, and
         # compiler scratch) — a 3072x256 f32 panel allocates 17.4 MiB.
-        # Budget accordingly.
         w = 256 if min(m, n) >= 1024 else 128
-        while 6 * m * w * itemsize > VMEM_BUDGET_BYTES and w > LANE // 2:
+        while 6 * m * w * itemsize > PANEL_VMEM_BUDGET_BYTES and w > LANE // 2:
             w //= 2
         return max(w, 32)
 
