@@ -63,15 +63,19 @@ def luflop(m: int, n: int) -> float:
     return float(np.sum((m - k - 1) + 2.0 * (m - k - 1) * (n - k - 1)))
 
 
-def _looped(fact, A, K):
+def _looped(fact, K):
     """K data-dependent factorizations in one jit; returns a scalar.
 
     The carry multiplies A by (1 + 1e-24*f[0,0]): numerically a no-op in
     f32 (rounds to *1.0) but a runtime data dependence XLA cannot fold,
-    so the loop body cannot be CSE'd or dead-code-eliminated."""
+    so the loop body cannot be CSE'd or dead-code-eliminated.
+
+    The matrix is an ARGUMENT, never a closure: a closed-over jax.Array
+    is embedded as an HLO constant (tens of MB), which multiplies
+    compile time through the remote-compile tunnel ~5x."""
 
     @jax.jit
-    def run():
+    def run(A):
         def body(i, a):
             f = fact(a)
             s = f[0, 0] if f.ndim == 2 else f[0, 0, 0]
@@ -88,16 +92,16 @@ def measure_variants(variants, ks=KS, reps=REPS):
     where spread = (max - min) / median over all marginals."""
     runs = {}
     for name, (fact, A) in variants.items():
-        runs[name] = {k: _looped(fact, A, k) for k in ks}
-    for name in runs:
+        runs[name] = ({k: _looped(fact, k) for k in ks}, A)
+    for name, (rs, A) in runs.items():
         for k in ks:
-            np.asarray(runs[name][k]())  # compile + warm
+            np.asarray(rs[k](A))  # compile + warm
     times = {name: {k: [] for k in ks} for name in runs}
     for _ in range(reps):
-        for name in runs:  # interleaved: variance hits all cells alike
+        for name, (rs, A) in runs.items():  # interleaved
             for k in ks:
                 t0 = time.perf_counter()
-                np.asarray(runs[name][k]())
+                np.asarray(rs[k](A))
                 times[name][k].append(time.perf_counter() - t0)
     out = {}
     for name in runs:

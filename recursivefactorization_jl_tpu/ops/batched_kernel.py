@@ -46,20 +46,27 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.config import VMEM_BUDGET_BYTES, is_tpu_backend
+from ..utils.config import is_tpu_backend
 
 GROUP = 256  # matrices per grid cell (lanes-major: keep a multiple of 128)
 
 
+# Scoped-vmem budget for the batched kernel.  Mosaic's default limit is
+# 16 MB but the physical VMEM on v5e is far larger; the pallas_call
+# below raises the limit explicitly, so the group picker budgets
+# against this (measured: G=256 at 64x64 needs 16.2 MB scoped).
+BATCHED_VMEM_BUDGET = 48 * 1024 * 1024
+
+
 def pick_group(m: int, n: int, itemsize: int, group: int = GROUP) -> int:
     """Largest group size <= ``group`` whose kernel working set fits the
-    VMEM budget.  The working set is ~3x the (n, m, G) block: the
+    VMEM budget.  The working set is ~4x the (n, m, G) block: the
     aliased in/out block plus the masked-select/FMA temporaries of the
     step ops.  Returns 0 when even a 128-lane group does not fit
     (callers must fall back to the vmapped path)."""
-    per = 3 * m * n * itemsize
+    per = 4 * m * n * itemsize
     g = group
-    while g >= 128 and g * per > VMEM_BUDGET_BYTES:
+    while g >= 128 and g * per > BATCHED_VMEM_BUDGET:
         g //= 2
     return g if g >= 128 else 0
 
@@ -174,9 +181,17 @@ def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
 
     At = jnp.transpose(A, (2, 1, 0))  # (n, m, Bp)
     kernel = functools.partial(_lane_kernel, pivot=pivot, swap=swap)
+    # The Mosaic DEFAULT scoped-vmem limit is 16 MB; the physical VMEM
+    # on v5e is far larger, and bigger groups amortize per-op issue
+    # overhead, so raise the limit to fit the (n, m, G) block plus the
+    # step ops' select/FMA temporaries (~4x block).
+    vmem_limit = min(100 * 1024 * 1024, max(5 * G * m * n * 4, 1 << 24))
     out, piv, info = pl.pallas_call(
         kernel,
         grid=(nb,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit)
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((n, m, Bp), A.dtype),
             jax.ShapeDtypeStruct((minmn, Bp), jnp.int32),

@@ -62,25 +62,28 @@ def marginal_time(
     numerically a no-op in f32 but a data dependence XLA cannot fold.
     """
 
+    # x is an ARGUMENT of the jit, never a closure: a closed-over
+    # jax.Array becomes an HLO constant (tens of MB for bench shapes),
+    # which multiplies compile time through the remote-compile tunnel.
     def looped(K):
         @jax.jit
-        def run():
+        def run(a0):
             def body(i, a):
                 out = fn(a)
                 return a * (1.0 + 1e-24 * out.ravel()[0])
 
-            return lax.fori_loop(0, K, body, x).ravel()[0]
+            return lax.fori_loop(0, K, body, a0).ravel()[0]
 
         return run
 
     ts = []
     for K in (k1, k2):
         run = looped(K)
-        np.asarray(run())  # compile + warm
+        np.asarray(run(x))  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            np.asarray(run())
+            np.asarray(run(x))
             best = min(best, time.perf_counter() - t0)
         ts.append(best)
     return (ts[1] - ts[0]) / (k2 - k1)
