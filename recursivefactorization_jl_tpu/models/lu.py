@@ -138,12 +138,27 @@ class LU:
     #    det/logabsdet/inv are stdlib-provided on the reference's result
     #    object) ---------------------------------------------------------
     def _perm_sign(self) -> jax.Array:
-        """(-1)^(number of proper swaps in ipiv)."""
-        k = self.ipiv.shape[0]
-        swaps = jnp.sum(
-            self.ipiv != jnp.arange(k, dtype=self.ipiv.dtype)
-        )
-        return jnp.where(swaps % 2 == 0, 1.0, -1.0).astype(
+        """sign of the row permutation.
+
+        When the composed ``perm`` is cached (all factorization paths
+        produce it), the parity comes from the inversion count — valid
+        for ANY permutation source, including the physical schedule
+        whose ipiv is a pivot-row sequence rather than swaps.  The
+        swap-count formula on ipiv is the fallback."""
+        if self.perm is not None:
+            p = self.perm
+            inv = jnp.sum(
+                (p[:, None] > p[None, :])
+                & (jnp.arange(p.shape[0])[:, None] < jnp.arange(p.shape[0])[None, :])
+            )
+            odd = inv % 2 != 0
+        else:
+            k = self.ipiv.shape[0]
+            swaps = jnp.sum(
+                self.ipiv != jnp.arange(k, dtype=self.ipiv.dtype)
+            )
+            odd = swaps % 2 != 0
+        return jnp.where(odd, -1.0, 1.0).astype(
             jnp.result_type(self.factors.dtype, jnp.float32)
         )
 
@@ -189,6 +204,10 @@ def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):
         # Generic fallback (complex & friends) — the analog of
         # ref src/lu.jl:117-118.
         return unblocked_lu(A, pivot)
+    if config.schedule == "physical" and m >= n:
+        from ..ops.blocked import blocked_lu_physical
+
+        return blocked_lu_physical(A, pivot, config)
     if minmn <= config.small_threshold and m >= n:
         # Whole matrix in one fused kernel — subsumes both the
         # `min(m,n) < 10` escape hatch (ref src/lu.jl:70) and sub-threshold

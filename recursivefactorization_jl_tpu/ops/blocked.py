@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.config import LUConfig
-from .panel import panel_factor
+from .panel import panel_factor, panel_factor_noswap_pallas
 from .schur import schur_update
 from .trsm import solve_unit_lower, unit_lower_inverse
 
@@ -43,6 +43,84 @@ def _offset_info(info, local_info, s):
     ref src/lu.jl:240-247)."""
     glob = jnp.where(local_info < 0, local_info - s, local_info + s)
     return jnp.where((info == 0) & (local_info != 0), glob, info)
+
+
+def blocked_lu_physical(
+    A: jax.Array, pivot: bool, config: LUConfig
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Physical-order (no row movement) blocked LU for m >= n.
+
+    Rows NEVER move during the factorization: the panel kernel
+    (ops/panel.py ``_panel_kernel_noswap``) eliminates whichever row
+    wins the pivot search in place, and the trailing update runs at
+    full height with the per-step-masked L block, which makes it a
+    no-op on already-consumed rows AND deposits the U12 rows into the
+    pivot rows automatically (their partial L-sums reproduce the
+    forward substitution).  This removes the two largest non-MXU costs
+    of the swap schedule: the per-step row interchanges inside the
+    panel kernel (taken with probability ~1 per step) and the per-panel
+    laswp of the trailing matrix.  The price: trailing Schur updates at
+    full height m instead of m-s (~1.5x masked-to-useful flops — MXU
+    work) and ONE global row gather at the end.
+
+    Returns ``(factors, prow, perm, info)`` where ``perm`` is the
+    composed row permutation (``L @ U == A[perm, :]``) and ``prow`` is
+    its leading min(m, n) entries — the physical row chosen at each
+    elimination step.  NOTE: ``prow`` is NOT a LAPACK-style swap
+    sequence (use ``perm`` for solves; this path is opt-in via
+    ``LUConfig(schedule='physical')``).
+    """
+    m, n = A.shape
+    if m < n:
+        raise ValueError("blocked_lu_physical requires m >= n")
+    w = config.resolved_panel_width(m, n, jnp.dtype(A.dtype).itemsize)
+    used = jnp.zeros((1, m), jnp.float32)
+    info = jnp.int32(0)
+    prows = []
+    rowi = jnp.arange(m)[:, None]
+
+    s = 0
+    while s < n:
+        ws = min(w, n - s)
+        used_prev = used
+        pf, prow_l, used, linfo = panel_factor_noswap_pallas(
+            A[:, s : s + ws], used, pivot, micro=min(config.panel_micro, ws)
+        )
+        A = A.at[:, s : s + ws].set(pf)
+        info = _offset_info(info, linfo, s)
+        prows.append(prow_l)
+
+        if s + ws < n:
+            # masked L block: entry (i, r) kept iff row i was still
+            # available after step r (not consumed at a step <= r, nor
+            # by an earlier panel) — zeros truncate consumed rows' sums
+            # so one full-height matmul updates available rows AND
+            # writes U12 into the pivot rows.
+            oh = (rowi == prow_l[None, :]).astype(A.dtype)    # (m, ws)
+            consumed = jnp.cumsum(oh, axis=1) > 0             # (m, ws)
+            keep = (~consumed) & (used_prev[0][:, None] < 0.5)
+            Lscr = jnp.where(keep, pf, 0)
+            R = A[prow_l, s + ws :]                           # (ws, n_trail)
+            L11 = Lscr[prow_l, :]                             # strict lower
+            U12 = jnp.dot(
+                unit_lower_inverse(L11), R,
+                preferred_element_type=A.dtype,
+            )
+            A = A.at[:, s + ws :].set(
+                schur_update(
+                    A[:, s + ws :], Lscr, U12, config.schur_precision
+                )
+            )
+        s += ws
+
+    prow = jnp.concatenate(prows) if len(prows) > 1 else prows[0]
+    if m > n:
+        (tail,) = jnp.nonzero(used[0] < 0.5, size=m - n, fill_value=0)
+        perm = jnp.concatenate([prow, tail.astype(prow.dtype)])
+    else:
+        perm = prow
+    factors = jnp.take(A, perm, axis=0)  # ONE gather to pivoted layout
+    return factors, prow, perm, info
 
 
 def blocked_lu(

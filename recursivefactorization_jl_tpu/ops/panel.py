@@ -329,6 +329,203 @@ def _panel_kernel_shadow(
             )
 
 
+def _panel_kernel_noswap(
+    a_ref,
+    used0_ref,
+    out_ref,
+    prow_ref,
+    used_ref,
+    info_ref,
+    sh_ref,
+    lscr_ref,
+    oh_ref,
+    *,
+    pivot: bool,
+    micro: int,
+):
+    """No-swap (physical-order) shadow panel kernel.
+
+    Rows NEVER move: elimination step r picks a pivot among the rows
+    still available (``used`` mask, seeded from ``used0`` so rows
+    consumed by earlier panels of the physical blocked schedule are
+    excluded), scales the remaining rows, and the chosen row keeps its
+    physical position.  This removes the per-step row-interchange ops —
+    the largest slice of the serial pivot chain in the swap kernel
+    (every step swaps with probability ~1 on random matrices) — at the
+    cost of masked (full-height) trailing updates in the caller.
+
+    The current micro-panel lives transposed in ``sh_ref`` ((micro, m),
+    lane = physical row) exactly like :func:`_panel_kernel_shadow`;
+    ``lscr_ref`` additionally keeps the per-step MASKED L column
+    (zeros at consumed rows), which the micro-boundary update and the
+    caller's delayed Schur algebra both need.  The boundary update of
+    trailing panel columns uses the one-hot extraction algebra (U rows
+    live scattered at pivot rows):
+
+        R   = onehot @ out[:, p1:]          (pivot rows, stale)
+        L11 = onehot @ Lscr_block^T         (strictly-lower, unit diag)
+        U12 = L11^{-1} @ R                  (repeated-squaring inverse)
+        out[:, p1:] -= Lscr_block^T @ U12   (consumed rows get U12
+                                             automatically: Lscr zeros
+                                             truncate their sums)
+
+    Zero pivot: no scale, rank-1 still runs, info records the first
+    1-based failure column (ref src/lu.jl:299-319); the zero column
+    still consumes its (min-index available) row.
+    """
+    m, w = out_ref.shape
+    minmn = min(m, w)
+    out_ref[:, :] = a_ref[:, :]
+    used_ref[:, :] = used0_ref[:, :]
+    info_ref[0] = 0
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+
+    for k in range(minmn):
+        p0 = (k // micro) * micro
+        p1 = min(p0 + micro, minmn)
+        r = k - p0
+
+        if k == p0:
+            if k > 0:
+                # write back the finished block and update trailing cols
+                q0, q1 = p0 - micro, p0
+                nbk = q1 - q0
+                out_ref[:, q0:q1] = jnp.transpose(sh_ref[:nbk, :])
+                if p0 < w:
+                    oh = oh_ref[:nbk, :]                # (nbk, m) one-hot
+                    R = jnp.dot(
+                        oh, out_ref[:, p0:],
+                        preferred_element_type=jnp.float32,
+                    )                                   # (nbk, w-p0)
+                    lblk = lscr_ref[:nbk, :]            # (nbk, m) masked L
+                    L11 = jnp.dot(
+                        oh, jnp.transpose(lblk),
+                        preferred_element_type=jnp.float32,
+                    )                                   # (nbk, nbk) strict-lower
+                    # X = (I + N)^(-1) = sum (-N)^j  (nilpotent) via
+                    # repeated squaring: X <- X + P@X, P <- P@P
+                    P = -L11
+                    X = jnp.eye(nbk, dtype=jnp.float32) + P
+                    kk = 1
+                    while kk < nbk:
+                        P = jnp.dot(P, P, preferred_element_type=jnp.float32)
+                        X = X + jnp.dot(
+                            P, X, preferred_element_type=jnp.float32
+                        )
+                        kk *= 2
+                    U12 = jnp.dot(X, R, preferred_element_type=jnp.float32)
+                    out_ref[:, p0:] -= jnp.dot(
+                        jnp.transpose(lblk), U12,
+                        preferred_element_type=jnp.float32,
+                    )
+            sh_ref[: p1 - p0, :] = jnp.transpose(out_ref[:, p0:p1])
+
+        rowr = sh_ref[r, :].reshape(1, m)
+        avail = used_ref[:, :] < 0.5
+        if pivot:
+            absrow = jnp.where(avail, jnp.abs(rowr), -jnp.inf)
+            maxv = jnp.max(absrow)
+            kp = jnp.min(jnp.where(absrow == maxv, lanes, m))
+            kp = jnp.minimum(kp, m - 1).astype(jnp.int32)
+        else:
+            # consume rows in physical order: first available lane
+            kp = jnp.min(jnp.where(avail, lanes, m))
+            kp = jnp.minimum(kp, m - 1).astype(jnp.int32)
+        prow_ref[k] = kp
+
+        is_kp = lanes == kp
+        pivval = jnp.sum(jnp.where(is_kp, rowr, 0.0))
+        nonzero = pivval != 0.0
+        used_ref[:, :] = used_ref[:, :] + is_kp.astype(jnp.float32)
+        oh_ref[r, :] = is_kp.astype(jnp.float32)[0, :]
+        remaining = avail & jnp.logical_not(is_kp)
+
+        inv = jnp.where(nonzero, 1.0, 0.0) / jnp.where(nonzero, pivval, 1.0)
+        newrow = jnp.where(remaining & nonzero, rowr * inv, rowr)
+        sh_ref[r, :] = newrow[0, :]
+        lcol = jnp.where(remaining & nonzero, rowr * inv,
+                         jnp.where(remaining, rowr, 0.0))
+        lscr_ref[r, :] = lcol[0, :]
+
+        @pl.when(jnp.logical_not(nonzero) & (info_ref[0] == 0))
+        def _info(k=k):
+            info_ref[0] = (k + 1) if pivot else -(k + 1)
+
+        if r + 1 < p1 - p0:
+            nrem = (p1 - p0) - (r + 1)
+            sub = sh_ref[r + 1 : p1 - p0, :]
+            u = jnp.sum(
+                jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (nrem, m), 1) == kp,
+                    sub,
+                    0.0,
+                ),
+                axis=1,
+                keepdims=True,
+            )
+            sh_ref[r + 1 : p1 - p0, :] = sub - u * lcol
+
+    # write back the final micro block (no trailing cols remain when
+    # w == minmn; fat panels are not used by the physical schedule)
+    lastq0 = ((minmn - 1) // micro) * micro
+    out_ref[:, lastq0:minmn] = jnp.transpose(sh_ref[: minmn - lastq0, :])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pivot", "interpret", "micro")
+)
+def panel_factor_noswap_pallas(
+    panel: jax.Array,
+    used0: jax.Array,
+    pivot: bool,
+    interpret=None,
+    micro: int = 32,
+):
+    """Physical-order panel factorization.  ``panel``: (m, w) with
+    w <= m and w a multiple of... any width; ``used0``: (1, m) f32 mask
+    of rows consumed by earlier panels.  Returns
+    ``(out_phys (m, w), prow (w,), used (1, m), info)`` where ``out``
+    stays in PHYSICAL row order and ``prow[k]`` is the physical row
+    chosen at elimination step k."""
+    m, w = panel.shape
+    if interpret is None:
+        interpret = not is_tpu_backend()
+    kernel = functools.partial(_panel_kernel_noswap, pivot=pivot, micro=micro)
+    out, prow, used, info = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, w), panel.dtype),
+            jax.ShapeDtypeStruct((w,), jnp.int32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((min(micro, w), m), panel.dtype),
+            pltpu.VMEM((min(micro, w), m), panel.dtype),
+            pltpu.VMEM((min(micro, w), m), jnp.float32),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                min(100 * 1024 * 1024,
+                    max(6 * m * w * 4 + 3 * micro * m * 4, 1 << 24))
+            ),
+        ),
+        interpret=interpret,
+    )(panel, used0)
+    return out, prow, used, info[0]
+
+
 @functools.partial(
     jax.jit, static_argnames=("pivot", "interpret", "micro", "variant")
 )

@@ -79,6 +79,15 @@ class LUConfig:
     # lane-parallel (see ops/panel.py); 'basic' is the column-layout
     # kernel.
     panel_variant: str = "shadow"
+    # Blocked schedule: 'swap' moves rows into pivoted order as it goes
+    # (LAPACK-layout factors and a true ipiv swap sequence); 'physical'
+    # never moves rows — the no-swap panel kernel plus full-height
+    # masked trailing updates remove the per-step interchanges and the
+    # per-panel laswp entirely, with ONE global row gather at the end
+    # (ops/blocked.py blocked_lu_physical).  Under 'physical' the
+    # returned ipiv is the pivot-ROW sequence (perm prefix), not a swap
+    # sequence — solves use the composed perm either way.
+    schedule: str = "swap"
 
     def resolved_panel_width(self, m: int, n: int, itemsize: int) -> int:
         if self.panel_width is not None:

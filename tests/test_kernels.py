@@ -56,6 +56,71 @@ def test_panel_kernel_zero_pivot(pivot):
 
 
 @pytest.mark.parametrize("pivot", [True, False])
+@pytest.mark.parametrize("shape,w", [((48, 48), 16), ((70, 50), 16),
+                                     ((33, 33), 8)])
+def test_physical_schedule_matches_unblocked(pivot, shape, w):
+    """blocked_lu_physical (noswap panel kernel + full-height masked
+    trailing updates + one final gather) vs the oracle — f64 so the
+    comparison is exact up to rounding noise, not association."""
+    import recursivefactorization_jl_tpu as rf
+    from recursivefactorization_jl_tpu.models.lu import _dispatch_factor
+
+    Anp = RNG.rand(*shape)
+    if not pivot:
+        Anp = Anp + max(shape) * np.eye(*shape)
+    A = jnp.asarray(Anp)
+    m, n = shape
+    mn = min(shape)
+    cfg = rf.LUConfig(schedule="physical", panel_width=w)
+    f, prow, perm, info = _dispatch_factor(A, pivot, cfg)
+    f_o, piv_o, perm_o, info_o = unblocked_lu(A, pivot)
+    # pivot-row choices match the oracle; the TAIL order (rows never
+    # chosen, m > n only) is implementation-defined — physical uses
+    # ascending original index, the swap oracle leaves swap order.
+    np.testing.assert_array_equal(
+        np.asarray(perm)[:mn], np.asarray(perm_o)[:mn]
+    )
+    assert sorted(np.asarray(perm)) == list(range(m))
+    np.testing.assert_allclose(
+        np.asarray(f)[:mn], np.asarray(f_o)[:mn], atol=1e-12
+    )
+    # full-factor check via the residual identity L @ U == A[perm, :]
+    L = np.tril(np.asarray(f)[:, :mn], -1) + np.eye(m, mn)
+    U = np.triu(np.asarray(f)[:mn, :])
+    resid = np.max(np.abs(L @ U - Anp[np.asarray(perm), :]))
+    assert resid < 1e-12, resid
+    assert int(info) == int(info_o) == 0
+    if pivot:
+        # prow is the perm prefix (pivot-row sequence), by contract
+        np.testing.assert_array_equal(
+            np.asarray(prow), np.asarray(perm)[:mn]
+        )
+
+
+def test_physical_schedule_zero_pivot_and_solve():
+    import recursivefactorization_jl_tpu as rf
+    from recursivefactorization_jl_tpu.models.lu import _dispatch_factor
+
+    n = 40
+    A = RNG.rand(n, n)
+    A[:, 7] = 0.0
+    cfg = rf.LUConfig(schedule="physical", panel_width=16)
+    f, prow, perm, info = _dispatch_factor(jnp.asarray(A), True, cfg)
+    _, _, _, info_o = unblocked_lu(jnp.asarray(A), True)
+    assert int(info) == int(info_o) != 0
+
+    B = RNG.rand(n, n) + n * np.eye(n)
+    F = rf.lu(jnp.asarray(B), config=cfg)
+    b = RNG.rand(n)
+    x = np.asarray(rf.lu_solve(F, jnp.asarray(b)))
+    np.testing.assert_allclose(B @ x, b, atol=1e-10)
+    # det must be right under the perm-parity formula
+    np.testing.assert_allclose(
+        float(F.det()), np.linalg.det(B), rtol=1e-9
+    )
+
+
+@pytest.mark.parametrize("pivot", [True, False])
 def test_batched_kernel_matches_unblocked(pivot):
     B, m, n = 11, 16, 16  # non-multiple of group -> exercises padding
     A = jnp.asarray(RNG.rand(B, m, n), dtype=jnp.float32)

@@ -118,6 +118,23 @@ def test_bf16_schur_refined_on_chip():
 
 
 @requires_tpu
+def test_physical_schedule_on_chip():
+    """The physical (no row movement) schedule compiled by Mosaic: the
+    noswap panel kernel's one-hot boundary algebra and the full-height
+    masked Schur updates must reproduce a LAPACK-quality factorization.
+    """
+    n = 1024
+    A = RNG.standard_normal((n, n)).astype(np.float32)
+    cfg = rf.LUConfig(schedule="physical")
+    F = rf.lu(jnp.asarray(A), config=cfg)
+    assert int(F.info) == 0
+    resid = np_residual(A, F.factors, F.p)
+    assert resid < 20 * n * np.finfo(np.float32).eps
+    p = np.asarray(F.p)
+    assert sorted(p) == list(range(n))
+
+
+@requires_tpu
 def test_bf16x3_schur_residual_on_chip():
     """schur_precision='bf16x3' (3-pass HIGH) must stay within a few
     bits of the f32 pivoted residual gate — it is only meaningful on
