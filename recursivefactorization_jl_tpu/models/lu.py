@@ -205,9 +205,15 @@ def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):
         # ref src/lu.jl:117-118.
         return unblocked_lu(A, pivot)
     if config.schedule == "physical" and m >= n:
-        from ..ops.blocked import blocked_lu_physical
+        from ..utils.config import is_tpu_backend
 
-        return blocked_lu_physical(A, pivot, config)
+        # the noswap panel kernel is f32 Mosaic on chip (interpret-mode
+        # handles any dtype on CPU); other dtypes fall through to the
+        # swap schedule
+        if A.dtype == jnp.dtype(jnp.float32) or not is_tpu_backend():
+            from ..ops.blocked import blocked_lu_physical
+
+            return blocked_lu_physical(A, pivot, config)
     if minmn <= config.small_threshold and m >= n:
         # Whole matrix in one fused kernel — subsumes both the
         # `min(m,n) < 10` escape hatch (ref src/lu.jl:70) and sub-threshold
