@@ -34,7 +34,11 @@ import jax.numpy as jnp
 from ..utils.config import LUConfig
 from .panel import panel_factor, panel_factor_noswap_pallas
 from .schur import schur_update
-from .trsm import solve_unit_lower, unit_lower_inverse
+from .trsm import (
+    solve_unit_lower,
+    unit_lower_inverse,
+    unit_lower_inverse_pow2,
+)
 
 
 def _offset_info(info, local_info, s):
@@ -102,8 +106,9 @@ def blocked_lu_physical(
             Lscr = jnp.where(keep, pf, 0)
             R = A[prow_l, s + ws :]                           # (ws, n_trail)
             L11 = Lscr[prow_l, :]                             # strict lower
+            inv_fn = unit_lower_inverse_pow2 if pivot else unit_lower_inverse
             U12 = jnp.dot(
-                unit_lower_inverse(L11), R,
+                inv_fn(L11), R,
                 preferred_element_type=A.dtype,
             )
             A = A.at[:, s + ws :].set(
@@ -145,6 +150,14 @@ def blocked_lu(
         return jnp.concatenate([FL, U1R], axis=1), ipiv, perm, info
 
     w = config.resolved_panel_width(m, n, jnp.dtype(A.dtype).itemsize)
+    if not pivot and minmn >= 4096 and config.panel_width is None:
+        # Empirical Mosaic/XLA workaround (v5e, 2026-08): the composed
+        # no-pivot blocked graph with 256-wide panels at n>=4096 crashes
+        # the TPU compile helper (the same panels compile standalone and
+        # the pivoted graph compiles at any width); 128-wide panels
+        # compile fine.  Only the auto-derived width is capped — an
+        # explicit panel_width is honored as given.
+        w = min(w, 128)
     ipiv = jnp.zeros((minmn,), jnp.int32)
     perm = jnp.arange(m, dtype=jnp.int32)
     info = jnp.int32(0)
@@ -185,7 +198,10 @@ def blocked_lu(
         A = A.at[s:, s : s + ws].set(pf)
 
         if s + ws < n:
-            L11_inv = unit_lower_inverse(pf[:ws, :ws])
+            # pivoted |L| <= 1 -> the all-matmul pow2 inverse is safe
+            # and avoids the substitution base's sequential fori chains
+            inv_fn = unit_lower_inverse_pow2 if pivot else unit_lower_inverse
+            L11_inv = inv_fn(pf[:ws, :ws])
             U12 = jnp.dot(
                 L11_inv, A[s : s + ws, s + ws :],
                 preferred_element_type=A.dtype,

@@ -95,6 +95,30 @@ def unit_lower_inverse(L: jax.Array) -> jax.Array:
 
 
 @full_matmul_precision
+def unit_lower_inverse_pow2(L: jax.Array) -> jax.Array:
+    """All-matmul unit-lower inverse via the nilpotent product identity
+    ``(I - B)^{-1} = prod_j (I + B^(2^j))`` with ``B = -tril(L, -1)``
+    (``B^n = 0`` makes it EXACT algebra, not an approximation):
+    ~2*log2(n) MXU matmuls and NO sequential substitution loop.
+
+    Use ONLY for partial-pivoted factors, where |L| <= 1 bounds the
+    power terms; for unpivoted factors (RBT path) the powers of an
+    unbounded N overflow — use :func:`unit_lower_inverse` there (same
+    caveat as a Neumann series).  On TPU the substitution base case is
+    a 32-step fori_loop chain per diagonal block, which costs more
+    wall-clock than these few (n, n) matmuls."""
+    n = L.shape[0]
+    B = -jnp.tril(L, k=-1)
+    X = jnp.eye(n, dtype=L.dtype) + B
+    k = 2
+    while k < n:
+        B = jnp.dot(B, B, preferred_element_type=L.dtype)
+        X = X + jnp.dot(B, X, preferred_element_type=L.dtype)
+        k *= 2
+    return X
+
+
+@full_matmul_precision
 def upper_inverse(U: jax.Array) -> jax.Array:
     """Inverse of the upper-triangular matrix in ``U``'s upper part
     (non-unit diagonal).  inv([[A,B],[0,C]]) = [[iA, -iA B iC],[0, iC]]."""
