@@ -34,11 +34,7 @@ import jax.numpy as jnp
 from ..utils.config import LUConfig
 from .panel import panel_factor, panel_factor_noswap_pallas
 from .schur import schur_update
-from .trsm import (
-    solve_unit_lower,
-    unit_lower_inverse,
-    unit_lower_inverse_pow2,
-)
+from .trsm import solve_unit_lower, unit_lower_inverse
 
 
 def _offset_info(info, local_info, s):
@@ -106,9 +102,8 @@ def blocked_lu_physical(
             Lscr = jnp.where(keep, pf, 0)
             R = A[prow_l, s + ws :]                           # (ws, n_trail)
             L11 = Lscr[prow_l, :]                             # strict lower
-            inv_fn = unit_lower_inverse_pow2 if pivot else unit_lower_inverse
             U12 = jnp.dot(
-                inv_fn(L11), R,
+                unit_lower_inverse(L11), R,
                 preferred_element_type=A.dtype,
             )
             A = A.at[:, s + ws :].set(
@@ -198,10 +193,7 @@ def blocked_lu(
         A = A.at[s:, s : s + ws].set(pf)
 
         if s + ws < n:
-            # pivoted |L| <= 1 -> the all-matmul pow2 inverse is safe
-            # and avoids the substitution base's sequential fori chains
-            inv_fn = unit_lower_inverse_pow2 if pivot else unit_lower_inverse
-            L11_inv = inv_fn(pf[:ws, :ws])
+            L11_inv = unit_lower_inverse(pf[:ws, :ws])
             U12 = jnp.dot(
                 L11_inv, A[s : s + ws, s + ws :],
                 preferred_element_type=A.dtype,
