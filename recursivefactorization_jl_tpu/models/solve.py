@@ -130,13 +130,16 @@ def lu_solve_refined(
     ``x += A \\ (b - A x)`` re-using the factorization for each
     correction.
 
-    This is the accuracy-recovery companion of the fast
-    ``schur_precision='bf16'`` factorization mode (ops/schur.py): the
-    O(n^3) Schur bulk runs single-pass bf16-compute/f32-accumulate on
-    the MXU (~arithmetic eps 2^-8 per product term), and 1-2 refinement
-    steps with f32 residuals restore the solve to the reference's f32
-    accuracy gate (ref test/runtests.jl:17,24) at ~O(n^2) cost per step.
-    The residual matvec runs at full (HIGHEST) precision."""
+    This is the accuracy-recovery companion of the reduced-precision
+    Schur modes (ops/schur.py): 1-2 refinement steps with f32 residuals
+    restore the solve to the reference's f32 accuracy gate
+    (ref test/runtests.jl:17,24) at ~O(n^2) cost per step.  Refinement
+    contracts when ``kappa(A) * eps_schur < 1``: with 'bf16x3'
+    (eps ~ 2^-21) that holds for generic matrices well past n=4096;
+    with single-pass 'bf16' (eps ~ 2^-8) it holds only for
+    well-conditioned systems (kappa below a few hundred) — measured
+    divergent for generic randn matrices at n=1024 on chip.  The
+    residual matvec runs at full (HIGHEST) precision."""
     perm = lu_res.p if lu_res.pivoted else lu_res.ipiv
     return _lu_solve_refined_impl(
         lu_res.factors,

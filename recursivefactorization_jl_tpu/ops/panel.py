@@ -126,7 +126,8 @@ def _panel_kernel(
             Lb = out_ref[p0:, q0:p0]           # (m-p0, _MICRO)
             Ub = out_ref[q0:p0, p0:]           # (_MICRO, w-p0)
             out_ref[p0:, p0:] -= jnp.dot(
-                Lb, Ub, preferred_element_type=jnp.float32
+                Lb, Ub, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
             )
 
         colk = out_ref[:, k].reshape(m, 1)
@@ -182,7 +183,8 @@ def _panel_kernel(
             Lb = out_ref[minmn:, q0:minmn]
             Ub = out_ref[q0:minmn, minmn:]
             out_ref[minmn:, minmn:] -= jnp.dot(
-                Lb, Ub, preferred_element_type=jnp.float32
+                Lb, Ub, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
             )
 
 
@@ -235,7 +237,8 @@ def _panel_kernel_shadow(
         # (b) rank-(p0-q0) Schur update of rows [p0:) on the MXU
         Lb = out_ref[p0:, q0:p0]
         Ub = out_ref[q0:p0, p0:]
-        out_ref[p0:, p0:] -= jnp.dot(Lb, Ub, preferred_element_type=jnp.float32)
+        out_ref[p0:, p0:] -= jnp.dot(Lb, Ub, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
     for k in range(minmn):
         p0 = (k // micro) * micro
@@ -325,7 +328,8 @@ def _panel_kernel_shadow(
             Lb = out_ref[minmn:, lastq0:minmn]
             Ub = out_ref[lastq0:minmn, minmn:]
             out_ref[minmn:, minmn:] -= jnp.dot(
-                Lb, Ub, preferred_element_type=jnp.float32
+                Lb, Ub, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
             )
 
 
@@ -396,11 +400,13 @@ def _panel_kernel_noswap(
                     R = jnp.dot(
                         oh, out_ref[:, p0:],
                         preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
                     )                                   # (nbk, w-p0)
                     lblk = lscr_ref[:nbk, :]            # (nbk, m) masked L
                     L11 = jnp.dot(
                         oh, jnp.transpose(lblk),
                         preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
                     )                                   # (nbk, nbk) strict-lower
                     # X = (I + N)^(-1) = sum (-N)^j  (nilpotent) via
                     # repeated squaring: X <- X + P@X, P <- P@P
@@ -408,15 +414,19 @@ def _panel_kernel_noswap(
                     X = jnp.eye(nbk, dtype=jnp.float32) + P
                     kk = 1
                     while kk < nbk:
-                        P = jnp.dot(P, P, preferred_element_type=jnp.float32)
+                        P = jnp.dot(P, P, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
                         X = X + jnp.dot(
-                            P, X, preferred_element_type=jnp.float32
+                            P, X, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
                         )
                         kk *= 2
-                    U12 = jnp.dot(X, R, preferred_element_type=jnp.float32)
+                    U12 = jnp.dot(X, R, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
                     out_ref[:, p0:] -= jnp.dot(
                         jnp.transpose(lblk), U12,
                         preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
                     )
             sh_ref[: p1 - p0, :] = jnp.transpose(out_ref[:, p0:p1])
 

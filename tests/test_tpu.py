@@ -101,10 +101,15 @@ def test_blocked_lu_on_chip():
 
 
 @requires_tpu
-def test_bf16_schur_refined_on_chip():
+def test_bf16x3_schur_refined_on_chip():
+    """bf16x3 Schur + 2 refinement steps recovers the f32 solve gate at
+    generic n=1024 (kappa * eps_bf16x3 << 1 so refinement contracts).
+    Single-pass bf16 does NOT contract for generic matrices at this
+    size (kappa ~ n, eps ~ 2^-8) — verified divergent on chip — so the
+    bf16 pairing is exercised on a well-conditioned system instead."""
     n = 1024
     A = RNG.standard_normal((n, n)).astype(np.float32)
-    cfg = rf.LUConfig(schur_precision="bf16", small_threshold=0)
+    cfg = rf.LUConfig(schur_precision="bf16x3", small_threshold=0)
     F = rf.lu(jnp.asarray(A), config=cfg)
     assert int(F.info) == 0
     b = np.asarray(A[:, -1])
@@ -115,6 +120,24 @@ def test_bf16_schur_refined_on_chip():
     rhs[-1] = 1
     E = 20 * n * np.finfo(np.float32).eps
     assert np.max(np.abs(x - rhs)) < 100 * E
+
+
+@requires_tpu
+def test_bf16_schur_refined_well_conditioned_on_chip():
+    n = 1024
+    A = RNG.standard_normal((n, n)).astype(np.float32) + np.float32(
+        3 * np.sqrt(n)
+    ) * np.eye(n, dtype=np.float32)
+    cfg = rf.LUConfig(schur_precision="bf16", small_threshold=0)
+    F = rf.lu(jnp.asarray(A), config=cfg)
+    assert int(F.info) == 0
+    b = RNG.standard_normal(n).astype(np.float32)
+    x = np.asarray(
+        rf.lu_solve_refined(F, jnp.asarray(A), jnp.asarray(b), iters=2)
+    )
+    r = np.abs(A.astype(np.float64) @ x.astype(np.float64) - b)
+    # relative residual back at f32 level after refinement
+    assert np.max(r) / np.max(np.abs(b)) < 1e-4
 
 
 @requires_tpu
