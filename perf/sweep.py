@@ -46,13 +46,27 @@ def luflop(m: int, n: int) -> float:
     return float(np.sum((m - k - 1) + 2.0 * (m - k - 1) * (n - k - 1)))
 
 
-def best_time(fn, A, reps: int = 3) -> float:
+def _ks_for(n: int):
+    """Loop lengths scaled so the K2 loop body runs tens of ms — small
+    matrices need hundreds of iterations before the marginal rises above
+    the relay's run-to-run noise."""
+    if n < 128:
+        return 100, 500
+    if n < 512:
+        return 30, 150
+    if n < 1536:
+        return 8, 32
+    return 2, 8
+
+
+def best_time(fn, A, reps: int = 3, ks=None) -> float:
     """Marginal (differential-K) loop-in-jit timing — single-call wall
     timing is meaningless through the TPU relay (fixed ~200 ms
     dispatch+sync overhead per invocation; see utils/profiling.py)."""
     from recursivefactorization_jl_tpu.utils.profiling import marginal_time
 
-    return marginal_time(fn, A, k1=2, k2=8, reps=reps)
+    k1, k2 = ks if ks else _ks_for(min(A.shape[-2:]))
+    return marginal_time(fn, A, k1=k1, k2=k2, reps=reps)
 
 
 def variants(dtype):
@@ -71,9 +85,10 @@ def variants(dtype):
         "xla_lu": lambda a: jax.scipy.linalg.lu_factor(a)[0],
     }
     if dtype == jnp.dtype(jnp.float32):
-        # single-pass MXU Schur bulk (pair with lu_solve_refined)
-        out["rf_bf16"] = lambda a: _dispatch_factor(
-            a, True, rf.LUConfig(schur_precision="bf16")
+        # 3-pass MXU Schur bulk (the recommended fast mode; pair the
+        # single-pass 'bf16' knob with lu_solve_refined instead)
+        out["rf_bf16x3"] = lambda a: _dispatch_factor(
+            a, True, rf.LUConfig(schur_precision="bf16x3")
         )[0]
     return out
 
@@ -147,7 +162,7 @@ def main() -> None:
                 a
             )[0],
         }.items():
-            t = best_time(fn, A)
+            t = best_time(fn, A, ks=(2, 8))  # whole-batch body is big
             gf = B * luflop(n, n) / t / 1e9
             print(f"{name}\tB={B} n={n}\t{gf:.1f} GFLOP/s\t{t * 1e3:.1f} ms")
             records.append(
