@@ -204,6 +204,22 @@ def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):
         # Generic fallback (complex & friends) — the analog of
         # ref src/lu.jl:117-118.
         return unblocked_lu(A, pivot)
+    if (
+        config.xla_threshold is not None
+        and pivot
+        and minmn <= config.xla_threshold
+    ):
+        # Platform-LU escape hatch (the reference's stdlib fallback for
+        # small matrices, src/lu.jl:70-73): XLA's blocked getrf wins
+        # below the measured crossover.  info is derived from the U
+        # diagonal (a zero pivot leaves U[k,k] == 0; first occurrence
+        # matches the elimination-order convention).
+        f, ipiv, perm = jax.lax.linalg.lu(A)
+        diag = jnp.diagonal(f)[:minmn]
+        zero = diag == 0
+        first = jnp.argmax(zero)  # first True, or 0 if none
+        info = jnp.where(jnp.any(zero), first + 1, 0).astype(jnp.int32)
+        return f, ipiv.astype(jnp.int32), perm.astype(jnp.int32), info
     if config.schedule == "physical" and m >= n:
         from ..utils.config import is_tpu_backend
 

@@ -79,6 +79,15 @@ class LUConfig:
     # lane-parallel (see ops/panel.py); 'basic' is the column-layout
     # kernel.
     panel_variant: str = "shadow"
+    # min(m, n) at or below which the PLATFORM LU (XLA's lax.linalg.lu)
+    # is used instead of this package's kernels — the analog of the
+    # reference's stdlib escape hatch for small matrices
+    # (`LinearAlgebra.generic_lufact!` below min(m,n) < 10,
+    # ref src/lu.jl:70-73).  Measured on v5e f32: XLA's single-matrix
+    # lu is faster below n ~ 3000, ours above (see perf/results_r02);
+    # batched workloads always use this package's lane kernels.
+    # None disables the escape (default: keep everything in-package).
+    xla_threshold: Optional[int] = None
     # Blocked schedule: 'swap' moves rows into pivoted order as it goes
     # (LAPACK-layout factors and a true ipiv swap sequence); 'physical'
     # never moves rows — the no-swap panel kernel plus full-height

@@ -286,6 +286,42 @@ def test_refined_solve_trans_and_matrix_rhs():
     np.testing.assert_allclose(A.T @ xt, bt, atol=1e-11)
 
 
+def test_xla_escape_hatch():
+    """config.xla_threshold routes small pivoted factorizations to the
+    platform LU (the reference's stdlib escape for small matrices,
+    ref src/lu.jl:70-73) with identical result contracts: factors,
+    LAPACK ipiv, composed perm, and derived info."""
+    cfg = rf.LUConfig(xla_threshold=64)
+    for s in (8, 40):
+        A = rand_mat((s, s), np.float64)
+        F = rf.lu(jnp.asarray(A), config=cfg)
+        lu_sp, piv_sp = scipy.linalg.lu_factor(A)
+        np.testing.assert_array_equal(np.asarray(F.ipiv), piv_sp)
+        np.testing.assert_allclose(np.asarray(F.factors), lu_sp, atol=1e-12)
+        assert lu_residual(A, F.factors, F.ipiv) < 20 * s * np.finfo(
+            np.float64
+        ).eps
+        # perm consistent: L @ U == A[perm, :]
+        L = np.tril(np.asarray(F.factors), -1) + np.eye(s)
+        U = np.triu(np.asarray(F.factors))
+        np.testing.assert_allclose(L @ U, A[np.asarray(F.p)], atol=1e-12)
+        b = rand_mat((s,), np.float64)
+        x = np.asarray(rf.lu_solve(F, jnp.asarray(b)))
+        np.testing.assert_allclose(A @ x, b, atol=1e-9)
+    # derived info: zero column
+    A = rand_mat((20, 20), np.float64)
+    A[:, 4] = 0
+    F = rf.lu(jnp.asarray(A), config=cfg)
+    _, _, info_sp = scipy.linalg.lapack.dgetrf(A)
+    assert int(F.info) == info_sp
+    # above the threshold: our kernels again
+    A = rand_mat((80, 80), np.float64)
+    F = rf.lu(jnp.asarray(A), config=cfg)
+    assert lu_residual(A, F.factors, F.ipiv) < 20 * 80 * np.finfo(
+        np.float64
+    ).eps
+
+
 def test_empty_and_tiny():
     A = rand_mat((0, 0), np.float64)
     f, ipiv, info = rf.lu_factor(jnp.asarray(A))
