@@ -81,9 +81,15 @@ def variants(dtype):
         "rf_blocked": lambda a: _dispatch_factor(
             a, True, rf.LUConfig(small_threshold=0)
         )[0],
-        # XLA/LAPACK baseline (the OpenBLAS lu! analog)
-        "xla_lu": lambda a: jax.scipy.linalg.lu_factor(a)[0],
     }
+    if not (
+        dtype == jnp.dtype(jnp.float64)
+        and jax.default_backend() in ("tpu", "axon")
+    ):
+        # XLA/LAPACK baseline (the OpenBLAS lu! analog).  Unavailable
+        # for f64 on TPU: XLA's LuDecomposition implements F32/C64 only
+        # — this package's f64 path (emulated f64 matmuls) still runs.
+        out["xla_lu"] = lambda a: jax.scipy.linalg.lu_factor(a)[0]
     if dtype == jnp.dtype(jnp.float32):
         # 3-pass MXU Schur bulk (the recommended fast mode; pair the
         # single-pass 'bf16' knob with lu_solve_refined instead)
@@ -109,7 +115,12 @@ def main() -> None:
     args = ap.parse_args()
 
     sizes = [int(s) for s in args.sizes.split(",")]
+    if args.dtype == "float64":
+        # without this, float64 silently downcasts to f32 and the
+        # "f64" sweep measures nothing
+        jax.config.update("jax_enable_x64", True)
     dtype = jnp.dtype(args.dtype)
+    assert jnp.zeros((), dtype).dtype == dtype, "x64 not enabled"
     rng = np.random.RandomState(123)  # ref perf/lu.jl:4
     records = []
 
