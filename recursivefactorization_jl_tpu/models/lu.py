@@ -200,10 +200,19 @@ def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):
         jnp.dtype(jnp.float64),
         jnp.dtype(jnp.bfloat16),
     )
-    if not fast_dtype or minmn == 0:
-        # Generic fallback (complex & friends) — the analog of
-        # ref src/lu.jl:117-118.
+    is_complex = jnp.issubdtype(A.dtype, jnp.complexfloating)
+    if (not fast_dtype and not is_complex) or minmn == 0:
+        # Generic fallback — the analog of ref src/lu.jl:117-118.
         return unblocked_lu(A, pivot)
+    if is_complex:
+        # Complex dtypes: no Pallas panel, but the blocked schedule still
+        # pays off above the threshold — panels factor via the masked
+        # pure-JAX loop while TRSM/Schur matmuls ride the MXU (C64
+        # natively; C128 emulated).  Fat complex also goes blocked (its
+        # fat wrapper factors the left block, then TRSM).
+        if m >= n and minmn <= config.small_threshold:
+            return unblocked_lu(A, pivot)
+        return blocked_lu(A, pivot, config)
     if (
         config.xla_threshold is not None
         and pivot

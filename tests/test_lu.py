@@ -286,6 +286,29 @@ def test_refined_solve_trans_and_matrix_rhs():
     np.testing.assert_allclose(A.T @ xt, bt, atol=1e-11)
 
 
+@pytest.mark.parametrize("pivot", [True, False])
+def test_complex_blocked_schedule(pivot):
+    """Large complex matrices route through the blocked schedule
+    (pure-JAX panels + MXU complex TRSM/Schur), not the sequential
+    whole-matrix loop; semantics identical (ref supports ComplexF32/64
+    through the same recursion, test/runtests.jl:32-34)."""
+    cfg = rf.LUConfig(panel_width=64, small_threshold=32)
+    for shape in [(300, 300), (130, 132)]:
+        A = rand_mat(shape, np.complex128)
+        if not pivot:
+            A = A + max(shape) * np.eye(*shape)
+        F = rf.lu(jnp.asarray(A), pivot, config=cfg)
+        check_lu(A, F, pivot, solve=False)
+    # singular info through the blocked complex path
+    A = rand_mat((80, 80), np.complex128)
+    A[:, 30] = 0
+    F = rf.lu(
+        jnp.asarray(A), config=rf.LUConfig(panel_width=16, small_threshold=8)
+    )
+    _, _, info_sp = scipy.linalg.lapack.zgetrf(A)
+    assert int(F.info) == info_sp
+
+
 def test_xla_escape_hatch():
     """config.xla_threshold routes small pivoted factorizations to the
     platform LU (the reference's stdlib escape for small matrices,
