@@ -137,18 +137,27 @@ def materialize_uv(uv: jax.Array, M: int):
     return U, V
 
 
+def _colvec(x: jax.Array, like: jax.Array) -> jax.Array:
+    """Reshape the diagonal-value vector for broadcasting against a
+    vector (n,) or matrix (n, k) rhs."""
+    return x if like.ndim == 1 else x[:, None]
+
+
 def _butterfly_t_vec(x: jax.Array, y: jax.Array) -> jax.Array:
-    """``B_x^T @ y`` implicitly (B^T = [[Du, Du], [Dl, -Dl]])."""
+    """``B_x^T @ y`` implicitly (B^T = [[Du, Du], [Dl, -Dl]]);
+    ``y`` may be a vector or a matrix of right-hand sides."""
     h = y.shape[0] // 2
     y1, y2 = y[:h], y[h:]
-    return jnp.concatenate([x[:h] * (y1 + y2), x[h:] * (y1 - y2)])
+    return jnp.concatenate(
+        [_colvec(x[:h], y) * (y1 + y2), _colvec(x[h:], y) * (y1 - y2)]
+    )
 
 
 def _butterfly_vec(x: jax.Array, y: jax.Array) -> jax.Array:
-    """``B_x @ y`` implicitly."""
+    """``B_x @ y`` implicitly; ``y`` may be a vector or matrix."""
     h = y.shape[0] // 2
-    t = x[:h] * y[:h]
-    s = x[h:] * y[h:]
+    t = _colvec(x[:h], y) * y[:h]
+    s = _colvec(x[h:], y) * y[h:]
     return jnp.concatenate([t + s, t - s])
 
 
@@ -238,7 +247,10 @@ def _workspace_arrays(A, b, seed):
         # (src/butterflylu.jl:32-36); zeros are equivalent because the
         # pad block of A is the identity, decoupled from the leading
         # n x n system — the padded tail of the solution is discarded.
-        b = jnp.concatenate([b, jnp.zeros((np_ - n,), dtype=b.dtype)])
+        # b may be a vector or a matrix of right-hand sides.
+        b = jnp.concatenate(
+            [b, jnp.zeros((np_ - n,) + b.shape[1:], dtype=b.dtype)]
+        )
     uv = generate_butterfly_values(np_, seed, Ap.dtype)
     return Ap, b, uv
 

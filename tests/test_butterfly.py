@@ -84,6 +84,18 @@ def test_wilkinson_rbt_solve():
         assert err <= 1e-10, (n, err)
 
 
+def test_matrix_rhs_solve():
+    """Matrix right-hand sides through the whole RBT pipeline (incl.
+    the pad path at n % 4 != 0)."""
+    for n, k in [(48, 3), (53, 2)]:
+        A = RNG.rand(n, n) + n * np.eye(n)
+        B = RNG.rand(n, k)
+        ws = rf.butterfly_workspace(jnp.asarray(A), jnp.asarray(B))
+        X = np.asarray(rf.butterfly_solve(ws))
+        assert X.shape == (n, k)
+        np.testing.assert_allclose(A @ X, B, atol=1e-9)
+
+
 def test_workspace_lazy_uv():
     """Dense U/V are not stored in the workspace (the solve uses the
     implicit applies); ``ws.UV()`` materializes them on demand and the
