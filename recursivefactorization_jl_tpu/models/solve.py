@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..ops import trsm
 from ..utils.config import full_matmul_precision
-from ..utils.perm import invert_perm, ipiv_to_perm
+from ..utils.perm import invert_perm
 
 
 def normalize_trans(trans) -> int:

@@ -15,7 +15,7 @@ The XLA analog has two parts:
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence, Tuple
+from typing import Iterable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
