@@ -95,7 +95,17 @@ def measure_variants(variants, ks=KS, reps=REPS):
         runs[name] = ({k: _looped(fact, k) for k in ks}, A)
     for name, (rs, A) in runs.items():
         for k in ks:
-            np.asarray(rs[k](A))  # compile + warm
+            # compile + warm, with retries: the axon runtime
+            # intermittently fails executes with a transient
+            # UNIMPLEMENTED after long sessions
+            for attempt in range(3):
+                try:
+                    np.asarray(rs[k](A))
+                    break
+                except Exception:
+                    if attempt == 2:
+                        raise
+                    time.sleep(60)
     times = {name: {k: [] for k in ks} for name in runs}
     for _ in range(reps):
         for name, (rs, A) in runs.items():  # interleaved
