@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import itertools
 import json
+import os
 import time
 
 import numpy as np
@@ -38,7 +39,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache_tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import recursivefactorization_jl_tpu as rf  # noqa: E402
@@ -202,6 +204,13 @@ def main() -> None:
     with open("bench_details.json", "w") as fh:
         json.dump(details, fh, indent=1)
 
+    # Self-reported spread (VERDICT r2): the ratio of extreme marginal
+    # pairings bounds how far another session's capture can land from
+    # this one — quote vs_baseline together with this interval.
+    ours_m = np.asarray(res["ours"][2])
+    base_m = np.asarray(res["xla"][2])
+    ratio_lo = float(base_m.min() / ours_m.max())
+    ratio_hi = float(base_m.max() / ours_m.min())
     print(
         json.dumps(
             {
@@ -209,6 +218,11 @@ def main() -> None:
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(t_base / t_ours, 3),
+                "vs_baseline_range": [round(ratio_lo, 3), round(ratio_hi, 3)],
+                "spread": {
+                    "ours": round(res["ours"][1], 4),
+                    "xla": round(res["xla"][1], 4),
+                },
             }
         )
     )

@@ -28,10 +28,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache_tpu")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, _REPO)
 
 import recursivefactorization_jl_tpu as rf  # noqa: E402
 

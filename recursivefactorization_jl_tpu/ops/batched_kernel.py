@@ -175,7 +175,17 @@ def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
     minmn = min(m, n)
     if interpret is None:
         interpret = not is_tpu_backend()
-    G = min(group, max(pick_group(m, n, jnp.dtype(A.dtype).itemsize), 128))
+    picked = pick_group(m, n, jnp.dtype(A.dtype).itemsize)
+    if picked == 0 and not interpret:
+        # A silent clamp here would compile anyway and die inside Mosaic
+        # with an opaque scoped-vmem error; fail with an actionable one.
+        raise ValueError(
+            f"batched Pallas kernel working set for ({m}, {n}) matrices "
+            f"exceeds the VMEM budget ({BATCHED_VMEM_BUDGET >> 20} MiB) "
+            "even at the minimum 128-lane group; use the vmapped path "
+            "(batched_lu_factor routes there automatically)"
+        )
+    G = min(group, max(picked, 128))
     pad = (-B) % G
     if pad:
         eye = jnp.broadcast_to(jnp.eye(m, n, dtype=A.dtype), (pad, m, n))
@@ -222,22 +232,32 @@ def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
     return out, piv, info, B
 
 
-@functools.partial(jax.jit, static_argnames=("pivot", "interpret", "group"))
+@functools.partial(
+    jax.jit, static_argnames=("pivot", "interpret", "group", "with_perm")
+)
 def batched_lu_pallas(
-    A: jax.Array, pivot: bool = True, interpret=None, group: int = GROUP
+    A: jax.Array,
+    pivot: bool = True,
+    interpret=None,
+    group: int = GROUP,
+    with_perm: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Factor a batch ``A`` of shape (B, m, n) with exact LAPACK swap
     semantics.  Returns ``(factors (B,m,n), ipiv (B,minmn),
     perm (B,m), info (B,))``.  B is padded internally to a multiple of
     the group size with identity matrices.
+
+    ``with_perm=False`` returns ``perm=None`` and skips composing the
+    swap sequence into a permutation — the composition is a vmapped
+    sequential minmn-step ``ipiv_to_perm`` chain, which callers that
+    only need ipiv (e.g. ``batched_lu_factor``) should not pay for.
     """
     out, piv, info, B = _call_lane_kernel(A, pivot, True, interpret, group)
     factors = jnp.transpose(out, (2, 1, 0))[:B]
     ipiv = jnp.transpose(piv, (1, 0))[:B]
     info = info[0, :B]
-    # compose the swap sequence into the row permutation with a
-    # vectorized log-depth folding (ipiv_to_perm per matrix would be a
-    # sequential minmn-step chain)
+    if not with_perm:
+        return factors, ipiv, None, info
     from ..utils.perm import ipiv_to_perm
 
     perm = jax.vmap(lambda p: ipiv_to_perm(p, A.shape[1]))(ipiv)

@@ -74,7 +74,7 @@ def batched_lu_factor(
     config = config or default_config()
     B, m, n = A.shape
     if _use_batched_pallas(A.dtype, m, n, config):
-        f, ipiv, _perm, info = batched_lu_pallas(A, pivot)
+        f, ipiv, _perm, info = batched_lu_pallas(A, pivot, with_perm=False)
         return f, ipiv, info
     f, ipiv, _perm, info = jax.vmap(lambda a: unblocked_lu(a, pivot))(A)
     return f, ipiv, info

@@ -44,13 +44,19 @@ if not RUN_TPU:
 else:
     import jax  # noqa: E402
 
-    # persistent cache for the slow remote-compile tunnel
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# 1-core host: compiles dominate test time — persist them across runs.
-if not RUN_TPU:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+if RUN_TPU:
+    # persistent cache for the slow remote-compile tunnel
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache_tpu")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+else:
+    # 1-core host: compiles dominate test time — persist across runs.
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
