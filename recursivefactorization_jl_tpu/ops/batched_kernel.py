@@ -95,6 +95,15 @@ def _lane_kernel(a_ref, out_ref, piv_ref, info_ref, used_ref, *,
     ci = lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)   # column ids
 
     def body(k, _):
+        # Per-step full-block traffic is the whole cost of this kernel
+        # (every pass reads/writes the (n, m, G) block from VMEM), so
+        # the step is organized to touch the block as few times as
+        # possible: ONE row-kp extraction reduce (reused as the U row —
+        # post-swap row k IS pre-swap row kp), one row-k reduce (swap
+        # variant only), and ONE fused select-swap + scale-write +
+        # rank-1-FMA pass.  The round-2 kernel spent 7 block passes per
+        # step (2 swap reduces + 2 swap selects + swap write + a third
+        # U-row reduce + FMA write); this spends 4 (swap) / 3 (noswap).
         col = out_ref[pl.ds(k, 1), :, :]                 # (1, m, G)
         if swap:
             avail = ii >= k
@@ -117,33 +126,44 @@ def _lane_kernel(a_ref, out_ref, piv_ref, info_ref, used_ref, *,
         pivval = jnp.sum(jnp.where(is_kp, col, 0.0), axis=1,
                          keepdims=True)                       # (1, 1, G)
         nonzero = pivval != 0.0
+        inv = jnp.where(nonzero, 1.0, 0.0) / jnp.where(nonzero, pivval, 1.0)
 
+        blk = out_ref[:, :, :]
+        # row kp — doubles as the U row when the swap is taken
+        rowkp = jnp.sum(jnp.where(is_kp, blk, 0.0), axis=1,
+                        keepdims=True)                        # (n, 1, G)
         if swap:
             # interchange rows k <-> kp across ALL columns (skipped on a
-            # zero pivot, ref src/lu.jl:299-307) via sublane selects
+            # zero pivot, ref src/lu.jl:299-307), fused into the main
+            # pass below
             do_swap = nonzero & (kp != k)                     # (1, 1, G)
-            blk = out_ref[:, :, :]
             is_k = ii == k                                    # (1, m, G)
             rowk = jnp.sum(jnp.where(is_k, blk, 0.0), axis=1,
                            keepdims=True)                     # (n, 1, G)
-            rowkp = jnp.sum(jnp.where(is_kp, blk, 0.0), axis=1,
-                            keepdims=True)                    # (n, 1, G)
-            blk = jnp.where(is_k & do_swap, rowkp, blk)
-            blk = jnp.where(is_kp & do_swap, rowk, blk)
-            out_ref[:, :, :] = blk
-            col = out_ref[pl.ds(k, 1), :, :]
+            # post-swap pivot column (cheap: (1, m, G) ops only)
+            col_at_k = jnp.sum(jnp.where(is_k, col, 0.0), axis=1,
+                               keepdims=True)                 # (1, 1, G)
+            col = jnp.where(
+                do_swap & is_k, pivval,
+                jnp.where(do_swap & is_kp, col_at_k, col),
+            )
             elim_rows = ii > k                                # L rows
-            urow_sel = ii == k                                # pivot row now at k
+            urow = jnp.where(do_swap, rowkp, rowk)            # (n, 1, G)
+            swap_sel = lambda b: jnp.where(
+                is_k & do_swap, rowkp, jnp.where(is_kp & do_swap, rowk, b)
+            )
         else:
             used_ref[:, :, :] = used_ref[:, :, :] + is_kp.astype(jnp.float32)
             elim_rows = avail & jnp.logical_not(is_kp)
-            urow_sel = is_kp
+            urow = rowkp
+            swap_sel = lambda b: b
 
-        # scale the pivot column's elimination rows (no scale on zero
-        # pivot, ref src/lu.jl:309-319)
-        inv = jnp.where(nonzero, 1.0, 0.0) / jnp.where(nonzero, pivval, 1.0)
+        # scaled pivot column (no scale on zero pivot, but the rank-1
+        # still uses the raw values, ref src/lu.jl:309-326)
         newcol = jnp.where(elim_rows & nonzero, col * inv, col)
-        out_ref[pl.ds(k, 1), :, :] = newcol
+        lcol = jnp.where(elim_rows & nonzero, col * inv,
+                         jnp.where(elim_rows, col, 0.0))      # (1, m, G)
+        urow = jnp.where(ci > k, urow, 0.0)
 
         info = info_ref[0, :]
         nz1 = nonzero[0, 0, :]
@@ -153,14 +173,10 @@ def _lane_kernel(a_ref, out_ref, piv_ref, info_ref, used_ref, *,
             info,
         )
 
-        # rank-1 trailing update: cols > k, rows = elim_rows (lcol is
-        # already zero elsewhere); urow extracted by a sublane reduce
-        lcol = jnp.where(elim_rows & nonzero, col * inv,
-                         jnp.where(elim_rows, col, 0.0))      # (1, m, G)
-        urow = jnp.sum(jnp.where(urow_sel, out_ref[:, :, :], 0.0),
-                       axis=1, keepdims=True)                 # (n, 1, G)
-        urow = jnp.where(ci > k, urow, 0.0)
-        out_ref[:, :, :] = out_ref[:, :, :] - urow * lcol
+        # ONE fused pass: swap-select, rank-1 FMA, pivot-column write
+        out_ref[:, :, :] = jnp.where(
+            ci == k, newcol, swap_sel(blk) - urow * lcol
+        )
         return 0
 
     lax.fori_loop(0, minmn, body, 0)

@@ -61,7 +61,12 @@ def panel_factor(
     src/lu.jl:97,184-186)."""
     m, w = panel.shape
     inner = config.inner_panel_width
-    if min(m, w) > inner:
+    if min(m, w) > inner and not (
+        config.panel_variant == "fori" and _use_pallas(panel.dtype, config)
+    ):
+        # The static-unroll kernels cap at `inner` width (Mosaic program
+        # size grows linearly with the unrolled pivot chain); the fori
+        # kernel blocks internally and takes any width directly.
         from .blocked import blocked_lu  # deferred: avoids import cycle
 
         import dataclasses
@@ -333,6 +338,152 @@ def _panel_kernel_shadow(
             )
 
 
+def _panel_kernel_fori(
+    a_ref,
+    out_ref,
+    piv_ref,
+    perm_ref,
+    info_ref,
+    sh_ref,
+    *,
+    pivot: bool,
+    micro: int,
+):
+    """fori-loop shadow panel kernel — scales to WHOLE-MATRIX LU.
+
+    Same algorithm as :func:`_panel_kernel_shadow` (current micro-panel
+    transposed in VMEM so the serial pivot chain is lane-parallel), but
+    the per-block elimination steps run in a ``lax.fori_loop`` with a
+    dynamic step index instead of a static unroll.  Dynamic indices only
+    ever touch the SUBLANE dimension (``pl.ds`` row reads/writes) or
+    appear inside lane masks — both Mosaic-supported — while every LANE
+    slice (shadow load/writeback, TRSM, Schur boundaries) sits in the
+    static Python loop over micro-blocks.  Program size is therefore
+    O(minmn / micro) traced blocks instead of O(minmn) unrolled steps,
+    which makes panels of width 1024-2048 (and whole n<=2048 matrices,
+    16 MiB f32 — VMEM-resident) compile: the round-2 static kernels
+    were capped near w=256 by Mosaic program size.  Eliminating the
+    per-panel dispatch + HBM round-trips of the blocked schedule is the
+    reference's own small-matrix story (recursion bottoming out into a
+    cache-resident kernel, ref src/lu.jl:85-155) re-played at VMEM
+    scale.
+
+    Two further deviations from the static shadow kernel:
+
+    * the composed row permutation is carried as ONE EXTRA SHADOW ROW
+      (f32 row ids — exact below 2^24): the per-step lane-swap select
+      pass updates it together with the data rows at zero extra ops;
+    * each micro boundary solves the (nb, nb) unit-lower TRSM by the
+      nilpotent repeated-squaring inverse (exact polynomial in N =
+      strict-lower block, log2(nb) tiny matmuls — the same scheme the
+      noswap kernel uses) instead of nb-1 sequential row eliminations,
+      then brings the trailing columns up to date with two MXU matmuls.
+    """
+    m, w = out_ref.shape
+    minmn = min(m, w)
+    f32 = jnp.float32
+    out_ref[:, :] = a_ref[:, :]
+    info_ref[0] = 0
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    nsh = sh_ref.shape[0]  # micro + 1 (last row carries the perm)
+    subs = jax.lax.broadcasted_iota(jnp.int32, (nsh, 1), 0)
+    sh_ref[nsh - 1, :] = lanes[0, :].astype(f32)
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32, precision=hi)
+
+    for p0 in range(0, minmn, micro):
+        p1 = min(p0 + micro, minmn)
+        nb = p1 - p0
+        sh_ref[:nb, :] = jnp.transpose(out_ref[:, p0:p1])
+
+        def step(i, carry, p0=p0, nb=nb):
+            k = p0 + i
+            rowr = sh_ref[pl.ds(i, 1), :]  # logical column k, lane-major
+            if pivot:
+                absrow = jnp.where(lanes >= k, jnp.abs(rowr), -jnp.inf)
+                maxv = jnp.max(absrow)
+                kp = jnp.min(jnp.where(absrow == maxv, lanes, m))
+                kp = jnp.minimum(kp, m - 1).astype(jnp.int32)
+            else:
+                kp = jnp.asarray(k, jnp.int32)
+            piv_ref[k] = kp
+            is_kp = lanes == kp
+            pivval = jnp.sum(jnp.where(is_kp, rowr, 0.0))
+            nonzero = pivval != 0.0
+
+            if pivot:
+
+                @pl.when(nonzero & (kp != k))
+                def _swap():
+                    # main buffer: full-width row interchange (the panel
+                    # columns are stale there; writeback overwrites them)
+                    rk = out_ref[pl.ds(k, 1), :]
+                    rkp = out_ref[pl.ds(kp, 1), :]
+                    out_ref[pl.ds(k, 1), :] = rkp
+                    out_ref[pl.ds(kp, 1), :] = rk
+                    # shadow (+ perm row, rows beyond nb are stale but
+                    # harmless): swap lanes k <-> kp via masked selects
+                    sh = sh_ref[:, :]
+                    is_k = lanes == k
+                    ck = jnp.sum(jnp.where(is_k, sh, 0.0), axis=1,
+                                 keepdims=True)
+                    ckp = jnp.sum(jnp.where(is_kp, sh, 0.0), axis=1,
+                                  keepdims=True)
+                    sh = jnp.where(is_k, ckp, sh)
+                    sh_ref[:, :] = jnp.where(is_kp, ck, sh)
+
+            # scale row i (post-swap value), zero-pivot -> no scale but
+            # the rank-1 below still uses the raw values
+            # (ref src/lu.jl:299-326)
+            rr = sh_ref[pl.ds(i, 1), :]
+            psafe = jnp.where(nonzero, pivval, 1.0)
+            rr = jnp.where((lanes > k) & nonzero, rr * (1.0 / psafe), rr)
+            sh_ref[pl.ds(i, 1), :] = rr
+
+            @pl.when(jnp.logical_not(nonzero) & (info_ref[0] == 0))
+            def _info():
+                val = (k + 1) if pivot else -(k + 1)
+                info_ref[0] = jnp.asarray(val, jnp.int32)
+
+            # rank-1 update of the remaining shadow rows (masked to
+            # (i, nb): stale rows and the perm row are excluded)
+            sh = sh_ref[:, :]
+            u = jnp.sum(jnp.where(lanes == k, sh, 0.0), axis=1,
+                        keepdims=True)
+            lrow = jnp.where(lanes > k, rr, 0.0)
+            rmask = (subs > i) & (subs < nb)
+            sh_ref[:, :] = sh - jnp.where(rmask, u, 0.0) * lrow
+            return carry
+
+        jax.lax.fori_loop(0, nb, step, 0)
+        out_ref[:, p0:p1] = jnp.transpose(sh_ref[:nb, :])
+
+        if p1 < w:
+            # TRSM of the U-block rows [p0:p1) x cols [p1:w) by forward
+            # substitution (nb-1 tiny rank-1s).  NOT the nilpotent
+            # repeated-squaring inverse: without pivoting the L
+            # multipliers are unbounded and the alternating N^k terms
+            # cancel catastrophically (measured resid 2e1 vs the
+            # oracle's 4e-4 at n=130 unpivoted); substitution matches
+            # the oracle's numerics for both pivot modes.
+            for i in range(p0, p1 - 1):
+                lcol = out_ref[i + 1 : p1, i].reshape(p1 - i - 1, 1)
+                urow = out_ref[i, p1:].reshape(1, w - p1)
+                out_ref[i + 1 : p1, p1:] -= lcol * urow
+            if p1 < m:
+                # rank-nb Schur update of the trailing block (MXU)
+                out_ref[p1:, p1:] -= mm(
+                    out_ref[p1:, p0:p1], out_ref[p0:p1, p1:]
+                )
+
+    perm_ref[:, :] = jnp.transpose(
+        sh_ref[nsh - 1 : nsh, :]
+    ).astype(jnp.int32)
+
+
 def _panel_kernel_noswap(
     a_ref,
     used0_ref,
@@ -550,7 +701,25 @@ def panel_factor_pallas(
     minmn = min(m, w)
     if interpret is None:
         interpret = not is_tpu_backend()
-    if variant == "shadow":
+    if variant == "fori":
+        kernel = functools.partial(
+            _panel_kernel_fori, pivot=pivot, micro=micro
+        )
+        extra = {
+            "scratch_shapes": [pltpu.VMEM((micro + 1, m), panel.dtype)],
+            # Whole-matrix panels (n <= 2048 f32 = 16 MiB) need the
+            # scoped-vmem ceiling above Mosaic's 16 MiB default; the
+            # physical VMEM on v5e is far larger (round-2 measurements).
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=int(
+                    min(
+                        120 * 1024 * 1024,
+                        max(3 * m * w * 4 + 2 * micro * m * 4, 1 << 24),
+                    )
+                )
+            ),
+        }
+    elif variant == "shadow":
         kernel = functools.partial(
             _panel_kernel_shadow, pivot=pivot, micro=micro
         )

@@ -147,56 +147,75 @@ def _tp_lu_kernel(
     w: int,
     D: int,
     pivot: bool,
+    stages: int = 4,
 ):
-    """shard_map body. ``A_loc``: (n, n/D) local cyclic column blocks."""
+    """shard_map body. ``A_loc``: (n, n/D) local cyclic column blocks.
+
+    The panel loop runs as ``stages`` static SHRINKING-HEIGHT stages,
+    each a ``fori_loop`` over its share of the panels: when stage t
+    starts at panel j0, rows < j0*w are final, so every per-panel op of
+    the stage (panel broadcast psum, replicated offset panel chain,
+    TRSM/Schur einsums) runs on the static row slice [j0*w:, :] — and
+    local column blocks that are statically finished by j0 are skipped
+    too.  Against the single-stage full-height loop this roughly halves
+    the masked-to-useful Schur flops, the VPU panel-chain height, and
+    the per-panel ICI psum payload, at the cost of `stages` traced
+    bodies instead of one.  The live-region arithmetic is unchanged
+    (masked rows/cols only ever contributed zeros), so results are
+    bitwise identical to the single-stage loop.
+    """
     me = lax.axis_index(axis)
     nb = n // w          # global panel count
     nbl = nb // D        # local blocks per device
-    rowi = jnp.arange(n)[:, None]
     # ipiv/perm/info carries stay REPLICATED across the axis: every
     # device computes them from the psum'd (replicated) panel, matching
     # the plain inits — so the P() out_specs hold.  Only A_loc varies.
     ipiv0 = jnp.zeros((n,), jnp.int32)
     perm0 = jnp.arange(n, dtype=jnp.int32)
 
-    def body(j, carry):
+    def body(j, carry, h0, qd):
+        # h0: static finished-row count; qd: static finished local blocks
         A_loc, ipiv, perm, info = carry
+        H = n - h0
+        nbl_t = nbl - qd
+        rowi = jnp.arange(H)[:, None]
         o = j % D
         q = j // D
         s = j * w
-        # --- panel broadcast: one psum of the full-height owner block --
-        panel_local = lax.dynamic_slice(A_loc, (0, q * w), (n, w))
+        sl = s - h0          # panel start within the live row slice
+        # --- panel broadcast: one psum of the live-height owner block --
+        panel_local = lax.dynamic_slice(A_loc, (h0, q * w), (H, w))
         panel = lax.psum(
             jnp.where(me == o, panel_local, jnp.zeros_like(panel_local)),
             axis,
         )
         # --- replicated offset panel factorization ---------------------
-        pf, piv_l, perm_l, linfo = _offset_panel_lu(panel, s, pivot)
-        ipiv = lax.dynamic_update_slice(ipiv, piv_l, (s,))
+        pf, piv_l, perm_l, linfo = _offset_panel_lu(panel, sl, pivot)
+        ipiv = lax.dynamic_update_slice(ipiv, piv_l + h0, (s,))
         info = _offset_info(info, linfo, s)
         # --- local laswp: sparse row scatter on ALL local columns ------
         if pivot:
             # a composition of w swaps moves at most 2w rows — gather +
             # scatter only those (see ops/blocked.py)
             (aff,) = jnp.nonzero(
-                perm_l != jnp.arange(n, dtype=perm_l.dtype),
-                size=2 * w,
+                perm_l != jnp.arange(H, dtype=perm_l.dtype),
+                size=min(2 * w, H),
                 fill_value=0,
             )
             src = perm_l[aff]
-            A_loc = A_loc.at[aff, :].set(A_loc[src, :])
-            perm = perm.at[aff].set(perm[src])
+            A_loc = A_loc.at[h0 + aff, :].set(A_loc[h0 + src, :])
+            perm = perm.at[h0 + aff].set(perm[h0 + src])
         # --- owner stores the factored panel ---------------------------
-        stored = lax.dynamic_update_slice(A_loc, pf, (0, q * w))
+        stored = lax.dynamic_update_slice(A_loc, pf, (h0, q * w))
         A_loc = jnp.where(me == o, stored, A_loc)
-        # --- masked TRSM + Schur on trailing local blocks ---------------
-        L11 = lax.dynamic_slice(pf, (s, 0), (w, w))
+        # --- masked TRSM + Schur on live trailing local blocks ----------
+        L11 = lax.dynamic_slice(pf, (sl, 0), (w, w))
         L11_inv = unit_lower_inverse(L11)
-        L21 = jnp.where(rowi >= s + w, pf, 0)       # (n, w), zero elsewhere
-        Ablk = A_loc.reshape(n, nbl, w)
-        glob = jnp.arange(nbl, dtype=jnp.int32) * D + me
+        L21 = jnp.where(rowi >= sl + w, pf, 0)      # (H, w), zero elsewhere
+        Ablk = A_loc[h0:, qd * w :].reshape(H, nbl_t, w)
+        glob = (qd + jnp.arange(nbl_t, dtype=jnp.int32)) * D + me
         mask = (glob > j)[None, :, None]
-        A12 = lax.dynamic_slice(Ablk, (s, 0, 0), (w, nbl, w))
+        A12 = lax.dynamic_slice(Ablk, (sl, 0, 0), (w, nbl_t, w))
         U12 = jnp.where(
             mask,
             jnp.einsum(
@@ -206,19 +225,34 @@ def _tp_lu_kernel(
             jnp.zeros_like(A12),
         )
         Ablk = lax.dynamic_update_slice(
-            Ablk, jnp.where(mask, U12, A12), (s, 0, 0)
+            Ablk, jnp.where(mask, U12, A12), (sl, 0, 0)
         )
-        # U12 is zero outside the mask and L21 zero at rows < s+w, so
+        # U12 is zero outside the mask and L21 zero at rows < sl+w, so
         # the full-shape product is a no-op everywhere it must be
         upd = jnp.einsum(
             "ik,kbj->ibj", L21, U12, preferred_element_type=A_loc.dtype
         )
-        A_loc = (Ablk - upd).reshape(n, nbl * w)
+        A_loc = A_loc.at[h0:, qd * w :].set(
+            (Ablk - upd).reshape(H, nbl_t * w)
+        )
         return A_loc, ipiv, perm, info
 
-    return lax.fori_loop(
-        0, nb, body, (A_loc, ipiv0, perm0, jnp.int32(0))
-    )
+    carry = (A_loc, ipiv0, perm0, jnp.int32(0))
+    S = max(1, min(stages, nb))
+    bounds = [nb * t // S for t in range(S)] + [nb]
+    for t in range(S):
+        j0, j1 = bounds[t], bounds[t + 1]
+        if j0 == j1:
+            continue
+        h0 = j0 * w
+        # device me's local block q is finished once q*D + me < j0 for
+        # every me <= D-1; the safe static count is floor((j0-D+1)/D)+1
+        # clamped at 0 (underestimates for small me — masks catch those)
+        qd = max(0, (j0 - D) // D + 1) if j0 >= D else 0
+        carry = lax.fori_loop(
+            j0, j1, functools.partial(body, h0=h0, qd=qd), carry
+        )
+    return carry
 
 
 def tp_lu_factor(
