@@ -72,7 +72,7 @@ def best_time(fn, A, reps: int = 3, ks=None) -> float:
     return marginal_time(fn, A, k1=k1, k2=k2, reps=reps)
 
 
-def variants(dtype):
+def variants(dtype, inplace_compare: bool = False):
     from recursivefactorization_jl_tpu.models.lu import _dispatch_factor
 
     out = {
@@ -85,6 +85,15 @@ def variants(dtype):
             a, True, rf.LUConfig(small_threshold=0)
         )[0],
     }
+    if inplace_compare:
+        # The reference sweep compares lu! (in place) with lu (copy
+        # first) (perf/lu.jl:31-44).  Under jit, donation only matters
+        # at the call boundary (XLA owns buffers inside), so the honest
+        # analog is the explicit extra copy the out-of-place API pays:
+        # rf_default above is the lu!-analog, this is the lu-analog.
+        out["rf_copied"] = lambda a: _dispatch_factor(
+            jnp.copy(a), True, rf.default_config()
+        )[0]
     if not (
         dtype == jnp.dtype(jnp.float64)
         and jax.default_backend() in ("tpu", "axon")
@@ -110,7 +119,13 @@ def main() -> None:
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--out", default=None)
     ap.add_argument("--batched", action="store_true",
-                    help="also sweep the 10k x 64 x 64 batched workload")
+                    help="also sweep the 10k-matrix batched workload")
+    ap.add_argument("--batched-sizes", default="64",
+                    help="matrix sizes for --batched (BASELINE names "
+                         "16-128)")
+    ap.add_argument("--inplace-compare", action="store_true",
+                    help="add the lu-vs-lu! analog variant (explicit "
+                         "copy before factoring)")
     ap.add_argument("--rect", action="store_true",
                     help="also sweep fat/tall rectangular shapes")
     ap.add_argument("--rbt", action="store_true",
@@ -128,12 +143,12 @@ def main() -> None:
     records = []
 
     print(f"# LU sweep dtype={dtype.name} backend={jax.default_backend()}")
-    header = ["n"] + list(variants(dtype))
+    header = ["n"] + list(variants(dtype, args.inplace_compare))
     print("\t".join(header))
     for n in sizes:
         A = jnp.asarray(rng.standard_normal((n, n)), dtype=dtype)
         row = [str(n)]
-        for name, fn in variants(dtype).items():
+        for name, fn in variants(dtype, args.inplace_compare).items():
             t = best_time(fn, A)
             gf = luflop(n, n) / t / 1e9
             row.append(f"{gf:.1f}")
@@ -160,29 +175,34 @@ def main() -> None:
             )
 
     if args.batched:
-        B, n = 10000, 64
+        B = 10000
         from recursivefactorization_jl_tpu.parallel import (
             batched_lu_factor,
             batched_lu_factor_perm,
         )
 
-        A = jnp.asarray(
-            rng.standard_normal((B, n, n)), dtype=jnp.float32
-        )
-        for name, fn in {
-            "rf_batched": lambda a: batched_lu_factor(a, True)[0],
-            "rf_batched_perm": lambda a: batched_lu_factor_perm(a, True)[0],
-            "xla_batched": lambda a: jax.vmap(jax.scipy.linalg.lu_factor)(
-                a
-            )[0],
-        }.items():
-            t = best_time(fn, A, ks=(2, 8))  # whole-batch body is big
-            gf = B * luflop(n, n) / t / 1e9
-            print(f"{name}\tB={B} n={n}\t{gf:.1f} GFLOP/s\t{t * 1e3:.1f} ms")
-            records.append(
-                {"variant": name, "n": n, "batch": B,
-                 "dtype": "float32", "time_s": t, "gflops": gf}
+        for n in [int(s) for s in args.batched_sizes.split(",")]:
+            A = jnp.asarray(
+                rng.standard_normal((B, n, n)), dtype=jnp.float32
             )
+            for name, fn in {
+                "rf_batched": lambda a: batched_lu_factor(a, True)[0],
+                "rf_batched_perm": lambda a: batched_lu_factor_perm(
+                    a, True
+                )[0],
+                "xla_batched": lambda a: jax.vmap(
+                    jax.scipy.linalg.lu_factor
+                )(a)[0],
+            }.items():
+                t = best_time(fn, A, ks=(2, 8))  # whole-batch body is big
+                gf = B * luflop(n, n) / t / 1e9
+                print(
+                    f"{name}\tB={B} n={n}\t{gf:.1f} GFLOP/s\t{t * 1e3:.1f} ms"
+                )
+                records.append(
+                    {"variant": name, "n": n, "batch": B,
+                     "dtype": "float32", "time_s": t, "gflops": gf}
+                )
 
     if args.rbt:
         # ill-conditioned worst-growth matrix: pivoted LU solve vs the

@@ -62,7 +62,8 @@ def panel_factor(
     m, w = panel.shape
     inner = config.inner_panel_width
     if min(m, w) > inner and not (
-        config.panel_variant == "fori" and _use_pallas(panel.dtype, config)
+        config.panel_variant.startswith("fori")
+        and _use_pallas(panel.dtype, config)
     ):
         # The static-unroll kernels cap at `inner` width (Mosaic program
         # size grows linearly with the unrolled pivot chain); the fori
@@ -345,9 +346,12 @@ def _panel_kernel_fori(
     perm_ref,
     info_ref,
     sh_ref,
+    inv_ref,
     *,
     pivot: bool,
     micro: int,
+    slim: bool = False,
+    outer=None,
 ):
     """fori-loop shadow panel kernel — scales to WHOLE-MATRIX LU.
 
@@ -394,89 +398,219 @@ def _panel_kernel_fori(
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=f32, precision=hi)
 
+    def step_basic(i, carry, p0, nb):
+        k = p0 + i
+        rowr = sh_ref[pl.ds(i, 1), :]  # logical column k, lane-major
+        if pivot:
+            absrow = jnp.where(lanes >= k, jnp.abs(rowr), -jnp.inf)
+            maxv = jnp.max(absrow)
+            kp = jnp.min(jnp.where(absrow == maxv, lanes, m))
+            kp = jnp.minimum(kp, m - 1).astype(jnp.int32)
+        else:
+            kp = jnp.asarray(k, jnp.int32)
+        piv_ref[k] = kp
+        is_kp = lanes == kp
+        pivval = jnp.sum(jnp.where(is_kp, rowr, 0.0))
+        nonzero = pivval != 0.0
+
+        if pivot:
+
+            @pl.when(nonzero & (kp != k))
+            def _swap():
+                # main buffer: full-width row interchange (the panel
+                # columns are stale there; writeback overwrites them)
+                rk = out_ref[pl.ds(k, 1), :]
+                rkp = out_ref[pl.ds(kp, 1), :]
+                out_ref[pl.ds(k, 1), :] = rkp
+                out_ref[pl.ds(kp, 1), :] = rk
+                # shadow (+ perm row, rows beyond nb are stale but
+                # harmless): swap lanes k <-> kp via masked selects
+                sh = sh_ref[:, :]
+                is_k = lanes == k
+                ck = jnp.sum(jnp.where(is_k, sh, 0.0), axis=1,
+                             keepdims=True)
+                ckp = jnp.sum(jnp.where(is_kp, sh, 0.0), axis=1,
+                              keepdims=True)
+                sh = jnp.where(is_k, ckp, sh)
+                sh_ref[:, :] = jnp.where(is_kp, ck, sh)
+
+        # scale row i (post-swap value), zero-pivot -> no scale but
+        # the rank-1 below still uses the raw values
+        # (ref src/lu.jl:299-326)
+        rr = sh_ref[pl.ds(i, 1), :]
+        psafe = jnp.where(nonzero, pivval, 1.0)
+        rr = jnp.where((lanes > k) & nonzero, rr * (1.0 / psafe), rr)
+        sh_ref[pl.ds(i, 1), :] = rr
+
+        @pl.when(jnp.logical_not(nonzero) & (info_ref[0] == 0))
+        def _info():
+            val = (k + 1) if pivot else -(k + 1)
+            info_ref[0] = jnp.asarray(val, jnp.int32)
+
+        # rank-1 update of the remaining shadow rows (masked to
+        # (i, nb): stale rows and the perm row are excluded)
+        sh = sh_ref[:, :]
+        u = jnp.sum(jnp.where(lanes == k, sh, 0.0), axis=1,
+                    keepdims=True)
+        lrow = jnp.where(lanes > k, rr, 0.0)
+        rmask = (subs > i) & (subs < nb)
+        sh_ref[:, :] = sh - jnp.where(rmask, u, 0.0) * lrow
+        return carry
+
+    def step_slim(i, carry, p0, nb):
+        # Slimmed step: the whole-block work collapses to TWO column
+        # reduces + ONE fused read-modify-write pass.  Key identities:
+        # the post-swap lane-k column equals the pre-swap lane-kp
+        # column (so the rank-1 multipliers u never need a third
+        # reduce), and the swap-select, row-i scale-write and rank-1
+        # FMA commute into a single element-wise select chain.
+        k = p0 + i
+        rowr = sh_ref[pl.ds(i, 1), :]
+        if pivot:
+            absrow = jnp.where(lanes >= k, jnp.abs(rowr), -jnp.inf)
+            maxv = jnp.max(absrow)
+            kp = jnp.min(jnp.where(absrow == maxv, lanes, m))
+            kp = jnp.minimum(kp, m - 1).astype(jnp.int32)
+        else:
+            kp = jnp.asarray(k, jnp.int32)
+        piv_ref[k] = kp
+        is_kp_l = lanes == kp
+        is_k_l = lanes == k
+        pivval = jnp.sum(jnp.where(is_kp_l, rowr, 0.0))
+        rk_val = jnp.sum(jnp.where(is_k_l, rowr, 0.0))
+        nonzero = pivval != 0.0
+        do_swap = nonzero & (kp != k) if pivot else jnp.asarray(False)
+
+        if pivot:
+
+            @pl.when(do_swap)
+            def _swap_main():
+                rk = out_ref[pl.ds(k, 1), :]
+                rkp = out_ref[pl.ds(kp, 1), :]
+                out_ref[pl.ds(k, 1), :] = rkp
+                out_ref[pl.ds(kp, 1), :] = rk
+
+        @pl.when(jnp.logical_not(nonzero) & (info_ref[0] == 0))
+        def _info():
+            val = (k + 1) if pivot else -(k + 1)
+            info_ref[0] = jnp.asarray(val, jnp.int32)
+
+        # post-swap scaled row i, in registers ((1, m) ops only)
+        rr = rowr
+        if pivot:
+            rr = jnp.where(
+                do_swap & is_k_l, pivval,
+                jnp.where(do_swap & is_kp_l, rk_val, rowr),
+            )
+        psafe = jnp.where(nonzero, pivval, 1.0)
+        rr = jnp.where((lanes > k) & nonzero, rr * (1.0 / psafe), rr)
+        lrow = jnp.where(lanes > k, rr, 0.0)
+
+        sh = sh_ref[:, :]
+        colk = jnp.sum(jnp.where(is_k_l, sh, 0.0), axis=1, keepdims=True)
+        if pivot:
+            colkp = jnp.sum(jnp.where(is_kp_l, sh, 0.0), axis=1,
+                            keepdims=True)
+            # post-swap multipliers: lane k holds the old lane-kp column
+            u = jnp.where(do_swap, colkp, colk)
+            sh = jnp.where(
+                do_swap & is_k_l, colkp,
+                jnp.where(do_swap & is_kp_l, colk, sh),
+            )
+        else:
+            u = colk
+        rmask = (subs > i) & (subs < nb)
+        sh_ref[:, :] = jnp.where(
+            subs == i, rr, sh - jnp.where(rmask, u, 0.0) * lrow
+        )
+        return carry
+
+    step = step_slim if slim else step_basic
+
+    def micro_inverse(p0, p1):
+        """inv(L[p0:p1, p0:p1]) (unit-lower) for pivoted blocks: the
+        nilpotent repeated-squaring polynomial — exact for nilpotent N
+        and safe here because partial pivoting bounds |N| <= 1 (the
+        same scheme the noswap kernel uses).  NOT used unpivoted,
+        where multipliers are unbounded and the alternating N^k terms
+        cancel catastrophically (measured resid 2e1 vs the oracle's
+        4e-4 at n=130 unpivoted)."""
+        nb = p1 - p0
+        blk = out_ref[p0:p1, p0:p1]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+        P = jnp.where(ri > ci, -blk, 0.0)
+        X = jnp.where(ri == ci, 1.0, 0.0) + P
+        kk = 1
+        while kk < nb:
+            P = mm(P, P)
+            X = X + mm(P, X)
+            kk *= 2
+        return X
+
+    def substitution_trsm(p0, p1, c0, c1):
+        """U[p0:p1, c0:c1) = L[p0:p1,p0:p1]^-1 @ A[...] by forward
+        substitution (nb-1 tiny rank-1s) — stable for any multipliers."""
+        for i in range(p0, p1 - 1):
+            lcol = out_ref[i + 1 : p1, i].reshape(p1 - i - 1, 1)
+            urow = out_ref[i, c0:c1].reshape(1, c1 - c0)
+            out_ref[i + 1 : p1, c0:c1] -= lcol * urow
+
+    # Two-level trailing updates (pivoted only): inner micro boundaries
+    # update columns within the current OUTER block; outer boundaries
+    # apply one rank-`outer` TRSM + Schur to everything beyond — the
+    # bulk O(m*w^2) rides the MXU at contraction depth `outer` (128+)
+    # instead of `micro` (32), a 4x MXU pipeline-efficiency difference.
+    two_level = (
+        pivot and outer is not None and outer > micro and minmn > outer
+    )
+
     for p0 in range(0, minmn, micro):
         p1 = min(p0 + micro, minmn)
         nb = p1 - p0
         sh_ref[:nb, :] = jnp.transpose(out_ref[:, p0:p1])
 
-        def step(i, carry, p0=p0, nb=nb):
-            k = p0 + i
-            rowr = sh_ref[pl.ds(i, 1), :]  # logical column k, lane-major
-            if pivot:
-                absrow = jnp.where(lanes >= k, jnp.abs(rowr), -jnp.inf)
-                maxv = jnp.max(absrow)
-                kp = jnp.min(jnp.where(absrow == maxv, lanes, m))
-                kp = jnp.minimum(kp, m - 1).astype(jnp.int32)
-            else:
-                kp = jnp.asarray(k, jnp.int32)
-            piv_ref[k] = kp
-            is_kp = lanes == kp
-            pivval = jnp.sum(jnp.where(is_kp, rowr, 0.0))
-            nonzero = pivval != 0.0
-
-            if pivot:
-
-                @pl.when(nonzero & (kp != k))
-                def _swap():
-                    # main buffer: full-width row interchange (the panel
-                    # columns are stale there; writeback overwrites them)
-                    rk = out_ref[pl.ds(k, 1), :]
-                    rkp = out_ref[pl.ds(kp, 1), :]
-                    out_ref[pl.ds(k, 1), :] = rkp
-                    out_ref[pl.ds(kp, 1), :] = rk
-                    # shadow (+ perm row, rows beyond nb are stale but
-                    # harmless): swap lanes k <-> kp via masked selects
-                    sh = sh_ref[:, :]
-                    is_k = lanes == k
-                    ck = jnp.sum(jnp.where(is_k, sh, 0.0), axis=1,
-                                 keepdims=True)
-                    ckp = jnp.sum(jnp.where(is_kp, sh, 0.0), axis=1,
-                                  keepdims=True)
-                    sh = jnp.where(is_k, ckp, sh)
-                    sh_ref[:, :] = jnp.where(is_kp, ck, sh)
-
-            # scale row i (post-swap value), zero-pivot -> no scale but
-            # the rank-1 below still uses the raw values
-            # (ref src/lu.jl:299-326)
-            rr = sh_ref[pl.ds(i, 1), :]
-            psafe = jnp.where(nonzero, pivval, 1.0)
-            rr = jnp.where((lanes > k) & nonzero, rr * (1.0 / psafe), rr)
-            sh_ref[pl.ds(i, 1), :] = rr
-
-            @pl.when(jnp.logical_not(nonzero) & (info_ref[0] == 0))
-            def _info():
-                val = (k + 1) if pivot else -(k + 1)
-                info_ref[0] = jnp.asarray(val, jnp.int32)
-
-            # rank-1 update of the remaining shadow rows (masked to
-            # (i, nb): stale rows and the perm row are excluded)
-            sh = sh_ref[:, :]
-            u = jnp.sum(jnp.where(lanes == k, sh, 0.0), axis=1,
-                        keepdims=True)
-            lrow = jnp.where(lanes > k, rr, 0.0)
-            rmask = (subs > i) & (subs < nb)
-            sh_ref[:, :] = sh - jnp.where(rmask, u, 0.0) * lrow
-            return carry
-
-        jax.lax.fori_loop(0, nb, step, 0)
+        jax.lax.fori_loop(
+            0, nb, functools.partial(step, p0=p0, nb=nb), 0
+        )
         out_ref[:, p0:p1] = jnp.transpose(sh_ref[:nb, :])
 
-        if p1 < w:
-            # TRSM of the U-block rows [p0:p1) x cols [p1:w) by forward
-            # substitution (nb-1 tiny rank-1s).  NOT the nilpotent
-            # repeated-squaring inverse: without pivoting the L
-            # multipliers are unbounded and the alternating N^k terms
-            # cancel catastrophically (measured resid 2e1 vs the
-            # oracle's 4e-4 at n=130 unpivoted); substitution matches
-            # the oracle's numerics for both pivot modes.
-            for i in range(p0, p1 - 1):
-                lcol = out_ref[i + 1 : p1, i].reshape(p1 - i - 1, 1)
-                urow = out_ref[i, p1:].reshape(1, w - p1)
-                out_ref[i + 1 : p1, p1:] -= lcol * urow
+        if not two_level:
+            if p1 < w:
+                substitution_trsm(p0, p1, p1, w)
+                if p1 < m:
+                    # rank-nb Schur update of the trailing block (MXU)
+                    out_ref[p1:, p1:] -= mm(
+                        out_ref[p1:, p0:p1], out_ref[p0:p1, p1:]
+                    )
+            continue
+
+        P0 = (p0 // outer) * outer
+        P1 = min(P0 + outer, minmn)
+        Xq = micro_inverse(p0, p1)
+        inv_ref[p0 - P0 : p0 - P0 + nb, :nb] = Xq
+        if p1 < P1:
+            # inner boundary: TRSM + Schur confined to the outer block
+            out_ref[p0:p1, p1:P1] = mm(Xq, out_ref[p0:p1, p1:P1])
+            out_ref[p1:, p1:P1] -= mm(
+                out_ref[p1:, p0:p1], out_ref[p0:p1, p1:P1]
+            )
+        if p1 == P1 and p1 < w:
+            # outer boundary: block forward substitution over the outer
+            # width using the stored micro inverses, then ONE
+            # rank-(P1-P0) MXU Schur of the whole trailing block
+            for q0 in range(P0, P1, micro):
+                q1 = min(q0 + micro, P1)
+                nq = q1 - q0
+                R = out_ref[q0:q1, p1:]
+                if q0 > P0:
+                    R = R - mm(out_ref[q0:q1, P0:q0], out_ref[P0:q0, p1:])
+                out_ref[q0:q1, p1:] = mm(
+                    inv_ref[q0 - P0 : q0 - P0 + nq, :nq], R
+                )
             if p1 < m:
-                # rank-nb Schur update of the trailing block (MXU)
                 out_ref[p1:, p1:] -= mm(
-                    out_ref[p1:, p0:p1], out_ref[p0:p1, p1:]
+                    out_ref[p1:, P0:p1], out_ref[P0:p1, p1:]
                 )
 
     perm_ref[:, :] = jnp.transpose(
@@ -688,7 +822,8 @@ def panel_factor_noswap_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pivot", "interpret", "micro", "variant")
+    jax.jit,
+    static_argnames=("pivot", "interpret", "micro", "variant", "outer"),
 )
 def panel_factor_pallas(
     panel: jax.Array,
@@ -696,17 +831,25 @@ def panel_factor_pallas(
     interpret=None,
     micro: int = 16,
     variant: str = "shadow",
+    outer: int = 256,
 ):
     m, w = panel.shape
     minmn = min(m, w)
     if interpret is None:
         interpret = not is_tpu_backend()
-    if variant == "fori":
+    if variant in ("fori", "fori2", "fori3"):
         kernel = functools.partial(
-            _panel_kernel_fori, pivot=pivot, micro=micro
+            _panel_kernel_fori,
+            pivot=pivot,
+            micro=micro,
+            slim=(variant in ("fori2", "fori3")),
+            outer=(outer if variant == "fori3" else None),
         )
         extra = {
-            "scratch_shapes": [pltpu.VMEM((micro + 1, m), panel.dtype)],
+            "scratch_shapes": [
+                pltpu.VMEM((micro + 1, m), panel.dtype),
+                pltpu.VMEM((max(micro, outer), micro), jnp.float32),
+            ],
             # Whole-matrix panels (n <= 2048 f32 = 16 MiB) need the
             # scoped-vmem ceiling above Mosaic's 16 MiB default; the
             # physical VMEM on v5e is far larger (round-2 measurements).

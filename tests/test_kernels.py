@@ -19,7 +19,7 @@ from recursivefactorization_jl_tpu.ops.unblocked import unblocked_lu
 RNG = np.random.RandomState(5)
 
 
-@pytest.mark.parametrize("variant", ["basic", "shadow"])
+@pytest.mark.parametrize("variant", ["basic", "shadow", "fori"])
 @pytest.mark.parametrize("pivot", [True, False])
 @pytest.mark.parametrize("shape", [(16, 8), (32, 32), (17, 16), (40, 33)])
 def test_panel_kernel_matches_unblocked(pivot, shape, variant):
@@ -41,18 +41,55 @@ def test_panel_kernel_matches_unblocked(pivot, shape, variant):
     assert int(info_k) == int(info_o) == 0
 
 
+@pytest.mark.parametrize("variant", ["shadow", "fori"])
 @pytest.mark.parametrize("pivot", [True, False])
-def test_panel_kernel_zero_pivot(pivot):
+def test_panel_kernel_zero_pivot(pivot, variant):
     A = RNG.rand(12, 8).astype(np.float32)
     A[:, 3] = 0.0
     f_k, piv_k, perm_k, info_k = panel_factor_pallas(
-        jnp.asarray(A), pivot, interpret=True
+        jnp.asarray(A), pivot, interpret=True, variant=variant
     )
     f_o, piv_o, perm_o, info_o = unblocked_lu(jnp.asarray(A), pivot)
     assert int(info_k) == int(info_o) != 0
     np.testing.assert_allclose(
         np.asarray(f_k), np.asarray(f_o), atol=2e-5
     )
+
+
+@pytest.mark.parametrize("variant", ["fori", "fori2", "fori3"])
+@pytest.mark.parametrize("pivot", [True, False])
+@pytest.mark.parametrize(
+    "shape,micro", [((130, 130), 16), ((96, 130), 32), ((300, 96), 16)]
+)
+def test_fori_kernel_wide_and_ragged(pivot, shape, micro, variant):
+    """The fori kernel at shapes exercising its block structure: ragged
+    final micro-block (130 % 16 != 0), fat trailing columns handled by
+    the last boundary, tall panels.  Residual-gated (the blocked
+    boundary Schur associates differently from the oracle's rank-1
+    chain, so element-wise comparison would be vacuous at these sizes).
+    """
+    m, w = shape
+    Anp = RNG.rand(*shape)
+    if not pivot:
+        Anp = Anp + max(shape) * np.eye(*shape)
+    A = jnp.asarray(Anp, dtype=jnp.float32)
+    f, piv, perm, info = panel_factor_pallas(
+        A, pivot, interpret=True, micro=micro, variant=variant, outer=64
+    )
+    assert int(info) == 0
+    minmn = min(m, w)
+    fnp = np.asarray(f, dtype=np.float64)
+    L = np.tril(fnp[:, :minmn], -1) + np.eye(m, minmn)
+    U = np.triu(fnp[:minmn, :])
+    resid = np.max(np.abs(L @ U - Anp[np.asarray(perm), :]))
+    E = 20 * max(shape) * np.finfo(np.float32).eps * np.max(np.abs(Anp))
+    assert resid < (E if pivot else 10 * np.sqrt(E)), resid
+    # ipiv composes to the returned perm
+    p2 = np.arange(m)
+    pk = np.asarray(piv)
+    for k in range(minmn):
+        p2[[k, pk[k]]] = p2[[pk[k], k]]
+    np.testing.assert_array_equal(p2, np.asarray(perm))
 
 
 @pytest.mark.parametrize("pivot", [True, False])

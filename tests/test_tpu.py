@@ -109,6 +109,53 @@ def test_panel_zero_pivot_on_chip(pivot):
 
 
 @requires_tpu
+def test_fori_whole_lu_on_chip():
+    """The fori shadow kernel factoring a WHOLE n=1024 matrix in one
+    Pallas call (VMEM-resident; round-3 small-medium-n design).  Checks
+    residual, scipy ipiv parity, and zero-pivot info on chip."""
+    from recursivefactorization_jl_tpu.ops.panel import panel_factor_pallas
+
+    n = 1024
+    A = RNG.standard_normal((n, n)).astype(np.float32)
+    out, piv, perm, info = jax.device_get(
+        panel_factor_pallas(
+            jnp.asarray(A), True, interpret=False, micro=32, variant="fori"
+        )
+    )
+    assert int(info) == 0
+    assert np_residual(A, out, perm) < 20 * n * np.finfo(np.float32).eps
+    import scipy.linalg
+
+    _, piv_sp = scipy.linalg.lu_factor(A)
+    np.testing.assert_array_equal(piv, piv_sp)
+    # zero-pivot info semantics through the fori kernel
+    A2 = RNG.standard_normal((256, 256)).astype(np.float32)
+    A2[:, 19] = 0.0
+    _, _, _, info2 = jax.device_get(
+        panel_factor_pallas(
+            jnp.asarray(A2), True, interpret=False, micro=32, variant="fori"
+        )
+    )
+    assert int(info2) == 20
+
+
+@requires_tpu
+def test_blocked_lu_4096_w256_on_chip():
+    """Headline-scale correctness pin: the default w=256 blocked
+    schedule at n=4096 (the exact path bench.py times) must satisfy the
+    reference residual gate on chip — not only at the n=512 smoke size.
+    """
+    n = 4096
+    A = RNG.standard_normal((n, n)).astype(np.float32)
+    F = rf.lu(jnp.asarray(A), config=rf.LUConfig(panel_width=256))
+    assert int(F.info) == 0
+    resid = np_residual(A, F.factors, F.p)
+    assert resid < 20 * n * np.finfo(np.float32).eps * np.max(np.abs(A))
+    p = np.asarray(F.p)
+    assert sorted(p) == list(range(n))
+
+
+@requires_tpu
 def test_blocked_lu_on_chip():
     n = 512
     A = RNG.standard_normal((n, n)).astype(np.float32)
