@@ -72,7 +72,7 @@ def best_time(fn, A, reps: int = 3, ks=None) -> float:
     return marginal_time(fn, A, k1=k1, k2=k2, reps=reps)
 
 
-def variants(dtype, inplace_compare: bool = False):
+def variants(dtype, inplace_compare: bool = False, whole: bool = False):
     from recursivefactorization_jl_tpu.models.lu import _dispatch_factor
 
     out = {
@@ -85,6 +85,13 @@ def variants(dtype, inplace_compare: bool = False):
             a, True, rf.LUConfig(small_threshold=0)
         )[0],
     }
+    if whole:
+        # always-whole-kernel, no platform escape (the threshold=800
+        # fully-iterative analog of reference perf/lu.jl:48-59): shows
+        # what OUR kernel does at sizes where the default delegates
+        out["rf_whole"] = lambda a: _dispatch_factor(
+            a, True, rf.LUConfig(xla_threshold=None)
+        )[0]
     if inplace_compare:
         # The reference sweep compares lu! (in place) with lu (copy
         # first) (perf/lu.jl:31-44).  Under jit, donation only matters
@@ -126,6 +133,8 @@ def main() -> None:
     ap.add_argument("--inplace-compare", action="store_true",
                     help="add the lu-vs-lu! analog variant (explicit "
                          "copy before factoring)")
+    ap.add_argument("--whole", action="store_true",
+                    help="add the always-whole-kernel no-escape variant")
     ap.add_argument("--rect", action="store_true",
                     help="also sweep fat/tall rectangular shapes")
     ap.add_argument("--rbt", action="store_true",
@@ -143,12 +152,13 @@ def main() -> None:
     records = []
 
     print(f"# LU sweep dtype={dtype.name} backend={jax.default_backend()}")
-    header = ["n"] + list(variants(dtype, args.inplace_compare))
+    vs = variants(dtype, args.inplace_compare, args.whole)
+    header = ["n"] + list(vs)
     print("\t".join(header))
     for n in sizes:
         A = jnp.asarray(rng.standard_normal((n, n)), dtype=dtype)
         row = [str(n)]
-        for name, fn in variants(dtype, args.inplace_compare).items():
+        for name, fn in vs.items():
             t = best_time(fn, A)
             gf = luflop(n, n) / t / 1e9
             row.append(f"{gf:.1f}")

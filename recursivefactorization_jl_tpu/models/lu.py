@@ -234,11 +234,8 @@ def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):
         if m >= n and minmn <= config.small_threshold:
             return unblocked_lu(A, pivot)
         return blocked_lu(A, pivot, config)
-    if (
-        config.xla_threshold is not None
-        and pivot
-        and minmn <= config.xla_threshold
-    ):
+    xla_thresh = config.resolved_xla_threshold(A.dtype)
+    if xla_thresh is not None and pivot and minmn <= xla_thresh:
         # Platform-LU escape hatch (the reference's stdlib fallback for
         # small matrices, src/lu.jl:70-73): XLA's blocked getrf wins
         # below the measured crossover.  info is derived from the U

@@ -61,10 +61,15 @@ def panel_factor(
     src/lu.jl:97,184-186)."""
     m, w = panel.shape
     inner = config.inner_panel_width
-    if min(m, w) > inner and not (
+    fori_direct = (
         config.panel_variant.startswith("fori")
         and _use_pallas(panel.dtype, config)
-    ):
+        # whole-panel VMEM residency: the fori kernel footprint is ~3x
+        # panel bytes (aliased in/out + (micro+1, m) shadow); very tall
+        # panels fall back to the blocked split below
+        and 3 * m * w * panel.dtype.itemsize <= 100 * 1024 * 1024
+    )
+    if min(m, w) > inner and not fori_direct:
         # The static-unroll kernels cap at `inner` width (Mosaic program
         # size grows linearly with the unrolled pivot chain); the fori
         # kernel blocks internally and takes any width directly.
@@ -80,6 +85,7 @@ def panel_factor(
             pivot,
             micro=config.panel_micro,
             variant=config.panel_variant,
+            outer=config.panel_outer,
         )
     return unblocked_lu(panel, pivot)
 

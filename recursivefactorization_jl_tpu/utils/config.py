@@ -47,8 +47,11 @@ class LUConfig:
     # Panel width of the blocked right-looking schedule. None -> derived.
     panel_width: Optional[int] = None
     # min(m,n) at or below which a single fused kernel factors the whole
-    # matrix (VMEM-resident). None -> derived from dtype/VMEM.
-    small_threshold: int = 256
+    # matrix (VMEM-resident).  2048: an f32 matrix of that size is
+    # 16 MiB — the fori kernel holds it entirely in VMEM (measured
+    # footprint ~3x panel bytes), eliminating every per-panel dispatch
+    # and HBM round-trip of the blocked schedule (round 3).
+    small_threshold: int = 2048
     # 'float32' (6-pass HIGHEST) | 'bf16x3' (3-pass HIGH) | 'bf16'
     # (single-pass) : compute precision of the Schur-complement matmul
     # (accumulation is always f32).  See ops/schur.py.
@@ -74,11 +77,17 @@ class LUConfig:
     # at each boundary).  >= panel width disables in-kernel blocking.
     # 32 measured best on v5e at n=2048 (16/32/64 within ~5%).
     panel_micro: int = 32
-    # Panel kernel variant: 'shadow' keeps the current micro-panel
-    # transposed in VMEM so the serial pivot chain's per-step ops are
-    # lane-parallel (see ops/panel.py); 'basic' is the column-layout
-    # kernel.
-    panel_variant: str = "shadow"
+    # Panel kernel variant (see ops/panel.py):
+    #   'fori3'  — fori-loop shadow kernel, slim per-step pass + two-
+    #              level trailing updates (rank-`panel_outer` MXU Schur);
+    #              scales to whole-matrix panels.  Default (round 3).
+    #   'fori2'  — fori kernel, slim step, single-level boundaries.
+    #   'fori'   — fori kernel, basic step.
+    #   'shadow' — static-unroll shadow kernel (width <= inner only).
+    #   'basic'  — static-unroll column-layout kernel.
+    panel_variant: str = "fori3"
+    # Outer block width of the fori3 kernel's two-level trailing updates.
+    panel_outer: int = 256
     # min(m, n) at or below which the PLATFORM LU (XLA's lax.linalg.lu)
     # is used instead of this package's kernels — the analog of the
     # reference's stdlib escape hatch for small matrices
@@ -86,8 +95,13 @@ class LUConfig:
     # ref src/lu.jl:70-73).  Measured on v5e f32: XLA's single-matrix
     # lu is faster below n ~ 3000, ours above (see perf/results_r02);
     # batched workloads always use this package's lane kernels.
-    # None disables the escape (default: keep everything in-package).
-    xla_threshold: Optional[int] = None
+    # Round-3 default 'auto': on the TPU f32 path, delegate below the
+    # measured crossover (fixed per-step issue latency dominates there
+    # and the platform kernel ties or wins; above it this package's
+    # kernels win) — everywhere else no escape, this package's kernels
+    # handle all sizes.  An explicit int is honored on any backend;
+    # None disables the escape entirely.
+    xla_threshold: object = "auto"
     # Blocked schedule: 'swap' moves rows into pivoted order as it goes
     # (LAPACK-layout factors and a true ipiv swap sequence); 'physical'
     # never moves rows — the no-swap panel kernel plus full-height
@@ -98,18 +112,41 @@ class LUConfig:
     # sequence — solves use the composed perm either way.
     schedule: str = "swap"
 
+    # measured on v5e (round 3, fori3 whole-matrix kernel vs XLA lu):
+    # 0.71x at n=512, 0.96x at 1024, 1.17x at 2048 — delegate up to and
+    # including the measured-tie size, win above it.
+    AUTO_XLA_THRESHOLD = 1024
+
+    def resolved_xla_threshold(self, dtype) -> Optional[int]:
+        if self.xla_threshold == "auto":
+            import jax.numpy as jnp
+
+            if is_tpu_backend() and dtype == jnp.dtype(jnp.float32):
+                return self.AUTO_XLA_THRESHOLD
+            return None
+        return self.xla_threshold
+
     def resolved_panel_width(self, m: int, n: int, itemsize: int) -> int:
         if self.panel_width is not None:
             return self.panel_width
         # Mirror the spirit of the reference's size-adaptive blocksize
         # (src/lu.jl:97): smaller panels for huge matrices keep the tall
         # panel within VMEM; larger panels amortize per-panel latency.
-        # Kernel VMEM footprint: measured scoped-vmem usage on v5e is
-        # ~5.5-6x the raw panel bytes (input + output staging inside
-        # Mosaic, the lane-padded (m, 128) int32 perm vector, and
-        # compiler scratch) — a 3072x256 f32 panel allocates 17.4 MiB.
-        w = 256 if min(m, n) >= 1024 else 128
-        while 6 * m * w * itemsize > PANEL_VMEM_BUDGET_BYTES and w > LANE // 2:
+        # VMEM footprint: the static-unroll kernels stage ~5.5-6x the
+        # raw panel bytes (measured: a 3072x256 f32 panel allocates
+        # 17.4 MiB scoped); the fori kernels alias in/out and keep only
+        # a (micro+1, m) shadow — ~3x panel bytes — so they afford
+        # 2x wider panels (fewer blocked rounds, less HBM traffic).
+        if self.panel_variant.startswith("fori"):
+            w = 512 if min(m, n) >= 2048 else 256
+            mult = 3
+        else:
+            w = 256 if min(m, n) >= 1024 else 128
+            mult = 6
+        while (
+            mult * m * w * itemsize > PANEL_VMEM_BUDGET_BYTES
+            and w > LANE // 2
+        ):
             w //= 2
         return max(w, 32)
 

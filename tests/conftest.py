@@ -60,6 +60,23 @@ else:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop live compiled executables between test modules.
+
+    The full suite in ONE process accumulates hundreds of XLA:CPU
+    executables; on this host the process then segfaults inside
+    executable deserialization/compilation around the ~150th program
+    (reproducible at the same spot, every file green in isolation —
+    an XLA:CPU resource bug, not a test failure).  Clearing per module
+    keeps the live-executable count bounded; the persistent on-disk
+    compilation cache makes the re-loads cheap."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         is_tpu = bool(list(item.iter_markers(name="tpu")))

@@ -279,10 +279,16 @@ def test_batched_kernels_on_chip(swap):
 
 @requires_tpu
 def test_dispatch_small_fused_on_chip():
-    """The small-matrix escape (ref src/lu.jl:70 analog): one fused
-    whole-matrix kernel below the threshold."""
+    """Small matrices through BOTH dispatch arms: the default config
+    (auto xla_threshold -> platform kernel below the measured tie) and
+    the in-package fused whole-matrix kernel (escape disabled)."""
     n = 200
     A = RNG.standard_normal((n, n)).astype(np.float32)
-    F = rf.lu(jnp.asarray(A))  # default small_threshold=256 -> fused path
+    F = rf.lu(jnp.asarray(A))  # default: delegated below the tie point
     assert int(F.info) == 0
     assert np_residual(A, F.factors, F.p) < 20 * n * np.finfo(np.float32).eps
+    F2 = rf.lu(jnp.asarray(A), config=rf.LUConfig(xla_threshold=None))
+    assert int(F2.info) == 0
+    assert np_residual(A, F2.factors, F2.p) < 20 * n * np.finfo(
+        np.float32
+    ).eps
