@@ -144,6 +144,14 @@ def blocked_lu(
         U1R = solve_unit_lower(FL, AR, config.trsm_block)
         return jnp.concatenate([FL, U1R], axis=1), ipiv, perm, info
 
+    if config.resolved_blocked_variant() != config.panel_variant:
+        import dataclasses
+
+        # the blocked schedule's panels may pin a different kernel
+        # variant than the whole-matrix path (see LUConfig)
+        config = dataclasses.replace(
+            config, panel_variant=config.resolved_blocked_variant()
+        )
     w = config.resolved_panel_width(m, n, jnp.dtype(A.dtype).itemsize)
     if not pivot and minmn >= 4096 and config.panel_width is None:
         # Empirical Mosaic/XLA workaround (v5e, 2026-08): the composed

@@ -88,6 +88,17 @@ class LUConfig:
     panel_variant: str = "fori3"
     # Outer block width of the fori3 kernel's two-level trailing updates.
     panel_outer: int = 256
+    # Panel kernel variant used by the BLOCKED schedule's panels (the
+    # whole-matrix path keeps `panel_variant`).  None -> same as
+    # panel_variant.  Empirical Mosaic workaround (v5e, 2026-08): the
+    # composed blocked graph with fori panels at n=4096 / w=256 crashes
+    # the TPU compile helper (exit 1, no message; the same kernel
+    # compiles standalone and as a whole-matrix call) — a new instance
+    # of the round-2 nopivot-w256 crash class.
+    blocked_panel_variant: Optional[str] = None
+
+    def resolved_blocked_variant(self) -> str:
+        return self.blocked_panel_variant or self.panel_variant
     # min(m, n) at or below which the PLATFORM LU (XLA's lax.linalg.lu)
     # is used instead of this package's kernels — the analog of the
     # reference's stdlib escape hatch for small matrices

@@ -140,14 +140,16 @@ def test_fori_whole_lu_on_chip():
 
 
 @requires_tpu
-def test_blocked_lu_4096_w256_on_chip():
-    """Headline-scale correctness pin: the default w=256 blocked
-    schedule at n=4096 (the exact path bench.py times) must satisfy the
-    reference residual gate on chip — not only at the n=512 smoke size.
-    """
+def test_blocked_lu_4096_default_on_chip():
+    """Headline-scale correctness pin: the DEFAULT schedule at n=4096
+    (the exact path bench.py times: blocked with w=512 fori3 panels)
+    must satisfy the reference residual gate on chip — not only at the
+    n=512 smoke size.  (w=256 fori panels are known to crash the TPU
+    compile helper — see LUConfig.blocked_panel_variant — so the
+    default resolves w=512 there.)"""
     n = 4096
     A = RNG.standard_normal((n, n)).astype(np.float32)
-    F = rf.lu(jnp.asarray(A), config=rf.LUConfig(panel_width=256))
+    F = rf.lu(jnp.asarray(A))
     assert int(F.info) == 0
     resid = np_residual(A, F.factors, F.p)
     assert resid < 20 * n * np.finfo(np.float32).eps * np.max(np.abs(A))
