@@ -72,7 +72,8 @@ def best_time(fn, A, reps: int = 3, ks=None) -> float:
     return marginal_time(fn, A, k1=k1, k2=k2, reps=reps)
 
 
-def variants(dtype, inplace_compare: bool = False, whole: bool = False):
+def variants(dtype, inplace_compare: bool = False, whole: bool = False,
+             no_bf16x3: bool = False):
     from recursivefactorization_jl_tpu.models.lu import _dispatch_factor
 
     out = {
@@ -109,7 +110,7 @@ def variants(dtype, inplace_compare: bool = False, whole: bool = False):
         # for f64 on TPU: XLA's LuDecomposition implements F32/C64 only
         # — this package's f64 path (emulated f64 matmuls) still runs.
         out["xla_lu"] = lambda a: jax.scipy.linalg.lu_factor(a)[0]
-    if dtype == jnp.dtype(jnp.float32):
+    if dtype == jnp.dtype(jnp.float32) and not no_bf16x3:
         # 3-pass MXU Schur bulk (the recommended fast mode; pair the
         # single-pass 'bf16' knob with lu_solve_refined instead)
         out["rf_bf16x3"] = lambda a: _dispatch_factor(
@@ -135,6 +136,9 @@ def main() -> None:
                          "copy before factoring)")
     ap.add_argument("--whole", action="store_true",
                     help="add the always-whole-kernel no-escape variant")
+    ap.add_argument("--no-bf16x3", action="store_true",
+                    help="skip the bf16x3 variant (uninteresting at "
+                         "small n; halves small-sweep compile count)")
     ap.add_argument("--rect", action="store_true",
                     help="also sweep fat/tall rectangular shapes")
     ap.add_argument("--rbt", action="store_true",
@@ -152,7 +156,7 @@ def main() -> None:
     records = []
 
     print(f"# LU sweep dtype={dtype.name} backend={jax.default_backend()}")
-    vs = variants(dtype, args.inplace_compare, args.whole)
+    vs = variants(dtype, args.inplace_compare, args.whole, args.no_bf16x3)
     header = ["n"] + list(vs)
     print("\t".join(header))
     for n in sizes:
