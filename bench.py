@@ -204,13 +204,19 @@ def main() -> None:
     with open("bench_details.json", "w") as fh:
         json.dump(details, fh, indent=1)
 
-    # Self-reported spread (VERDICT r2): the ratio of extreme marginal
-    # pairings bounds how far another session's capture can land from
-    # this one — quote vs_baseline together with this interval.
+    # Self-reported spread (VERDICT r2): quantile band of the marginal
+    # pairings bounds how far another session's capture should land
+    # from this one.  10/90 percentiles, not extremes: a single relay
+    # hiccup in one rep otherwise produces a meaningless range (the
+    # median itself is already robust to it).
     ours_m = np.asarray(res["ours"][2])
     base_m = np.asarray(res["xla"][2])
-    ratio_lo = float(base_m.min() / ours_m.max())
-    ratio_hi = float(base_m.max() / ours_m.min())
+    ratio_lo = float(
+        np.percentile(base_m, 10) / max(np.percentile(ours_m, 90), 1e-12)
+    )
+    ratio_hi = float(
+        np.percentile(base_m, 90) / max(np.percentile(ours_m, 10), 1e-12)
+    )
     print(
         json.dumps(
             {
