@@ -37,6 +37,44 @@ def test_resolved_panel_width_vmem_bound():
     assert w_huge >= 32
 
 
+def test_blocked_panel_variant_override():
+    """blocked_panel_variant pins the blocked schedule's panel kernel
+    independently of the whole-matrix path; results must agree with the
+    default-variant schedule (same algorithm, different kernel)."""
+    import jax.numpy as jnp
+    import recursivefactorization_jl_tpu as rf
+
+    A = RNG.rand(96, 96).astype(np.float32)
+    base = rf.LUConfig(panel_width=32, small_threshold=0)
+    override = rf.LUConfig(
+        panel_width=32, small_threshold=0, blocked_panel_variant="shadow"
+    )
+    assert override.resolved_blocked_variant() == "shadow"
+    assert base.resolved_blocked_variant() == base.panel_variant
+    F1 = rf.lu(jnp.asarray(A), config=base)
+    F2 = rf.lu(jnp.asarray(A), config=override)
+    np.testing.assert_array_equal(np.asarray(F1.ipiv), np.asarray(F2.ipiv))
+    np.testing.assert_allclose(
+        np.asarray(F1.factors), np.asarray(F2.factors), atol=2e-5
+    )
+
+
+def test_xla_threshold_auto_resolution():
+    """'auto' resolves to None off-TPU (this suite runs on CPU) so the
+    in-package kernels keep handling every size; explicit ints pass
+    through."""
+    from recursivefactorization_jl_tpu.utils.config import LUConfig
+    import jax.numpy as jnp
+
+    assert LUConfig().resolved_xla_threshold(jnp.dtype(jnp.float32)) is None
+    assert LUConfig(xla_threshold=64).resolved_xla_threshold(
+        jnp.dtype(jnp.float32)
+    ) == 64
+    assert LUConfig(xla_threshold=None).resolved_xla_threshold(
+        jnp.dtype(jnp.float32)
+    ) is None
+
+
 def test_bf16_schur_mode():
     """schur_precision='bf16' stays within a bf16-appropriate residual."""
     n = 160
