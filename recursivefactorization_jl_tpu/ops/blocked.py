@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.config import LUConfig
-from .panel import panel_factor, panel_factor_noswap_pallas
+from .panel import _use_pallas, panel_factor, panel_factor_noswap_pallas
 from .schur import schur_update
 from .trsm import solve_unit_lower, unit_lower_inverse
 
@@ -165,8 +165,37 @@ def blocked_lu(
     perm = jnp.arange(m, dtype=jnp.int32)
     info = jnp.int32(0)
 
+    tail = config.resolved_tail_threshold()
+    itemsize = jnp.dtype(A.dtype).itemsize
+
     s = 0
     while s < n:
+        if (
+            pivot
+            and s > 0
+            and tail is not None
+            and n - s <= tail
+            and _use_pallas(A.dtype, config)
+            # whole-block VMEM residency gate (same bound as the fori
+            # kernel's direct path in ops/panel.py panel_factor)
+            and 3 * (m - s) * (n - s) * itemsize <= 100 * 1024 * 1024
+        ):
+            # Recursive tail: the trailing block fits the whole-matrix
+            # fused kernel — factor it in ONE call instead of more panel
+            # rounds (the reference's recursion base case,
+            # src/lu.jl:98-106), then pull the tail's row permutation
+            # through the already-computed L columns (one dense gather;
+            # the tail moves up to 2*(n-s) rows so the sparse scatter
+            # has no advantage here).
+            pf, piv_local, perm_local, linfo = panel_factor(
+                A[s:, s:], pivot, config
+            )
+            ipiv = ipiv.at[s:].set(piv_local + s)
+            info = _offset_info(info, linfo, s)
+            A = A.at[s:, :s].set(jnp.take(A[s:, :s], perm_local, axis=0))
+            perm = perm.at[s:].set(jnp.take(perm[s:], perm_local))
+            A = A.at[s:, s:].set(pf)
+            return A, ipiv, perm, info
         ws = min(w, n - s)
         pf, piv_local, perm_local, local_info = panel_factor(
             A[s:, s : s + ws], pivot, config
@@ -176,7 +205,6 @@ def blocked_lu(
 
         if pivot:
             mh = m - s
-            itemsize = jnp.dtype(A.dtype).itemsize
             if mh * n * itemsize > 32 * 1024 * 1024:
                 # Sparse laswp: a composition of ws row swaps moves at
                 # most 2*ws rows — gather+scatter only those instead of

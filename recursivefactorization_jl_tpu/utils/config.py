@@ -122,6 +122,23 @@ class LUConfig:
     # returned ipiv is the pivot-ROW sequence (perm prefix), not a swap
     # sequence — solves use the composed perm either way.
     schedule: str = "swap"
+    # Recursive tail of the blocked schedule: once the TRAILING block's
+    # width drops to <= this, finish it in ONE whole-matrix fused kernel
+    # call instead of more panel rounds (the exact analog of the
+    # reference recursing until min(m,n) <= threshold and then running
+    # the base kernel, ref src/lu.jl:98-106).  Measured v5e f32: the
+    # whole-matrix fori3 kernel at n=2048 is 2.08 ms vs ~2.9 ms for the
+    # blocked schedule of the same block.  'auto' -> small_threshold
+    # when the panel variant is a fori kernel (it alone scales to
+    # whole-matrix widths); None disables; an int is honored as given.
+    tail_threshold: object = None
+
+    def resolved_tail_threshold(self) -> Optional[int]:
+        if self.tail_threshold == "auto":
+            if self.resolved_blocked_variant().startswith("fori"):
+                return self.small_threshold
+            return None
+        return self.tail_threshold
 
     # measured on v5e (round 3, fori3 whole-matrix kernel vs XLA lu):
     # 0.71x at n=512, 0.96x at 1024, 1.17x at 2048 — delegate up to and

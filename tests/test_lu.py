@@ -122,6 +122,49 @@ def test_blocked_schedule(pivot):
         check_lu(A, F, pivot, solve=False)
 
 
+def test_blocked_recursive_tail():
+    """Recursive tail of the blocked schedule (LUConfig.tail_threshold):
+    the trailing block finishes in ONE whole-matrix fused kernel call —
+    the reference's recursion base case (ref src/lu.jl:98-106).  Must
+    agree with the all-panels schedule and carry the tail's row swaps
+    back through the left L columns."""
+    base = dict(
+        panel_width=32, small_threshold=0, backend="pallas",
+        panel_variant="fori3", panel_micro=8, panel_outer=32,
+    )
+    cfg_tail = rf.LUConfig(tail_threshold=64, **base)
+    cfg_flat = rf.LUConfig(tail_threshold=None, **base)
+    assert cfg_tail.resolved_tail_threshold() == 64
+    assert cfg_flat.resolved_tail_threshold() is None
+    # 'auto' resolves to small_threshold for fori kernels, off otherwise
+    assert rf.LUConfig(
+        tail_threshold="auto"
+    ).resolved_tail_threshold() == rf.LUConfig().small_threshold
+    assert (
+        rf.LUConfig(tail_threshold="auto", panel_variant="shadow")
+        .resolved_tail_threshold() is None
+    )
+    for shape in [(130, 130), (140, 132)]:
+        A = rand_mat(shape, np.float32)
+        Ft = rf.lu(jnp.asarray(A), True, config=cfg_tail)
+        Ff = rf.lu(jnp.asarray(A), True, config=cfg_flat)
+        check_lu(A, Ft, True, solve=False)
+        np.testing.assert_array_equal(
+            np.asarray(Ft.ipiv), np.asarray(Ff.ipiv)
+        )
+        np.testing.assert_allclose(
+            np.asarray(Ft.factors), np.asarray(Ff.factors),
+            rtol=0, atol=40 * max(shape) * np.finfo(np.float32).eps,
+        )
+    # info offsetting: a zero pivot INSIDE the tail block must report
+    # the global 1-based column, same as LAPACK
+    A = rand_mat((130, 130), np.float32)
+    A[:, 100] = 0
+    Ft = rf.lu(jnp.asarray(A), True, config=cfg_tail)
+    _, _, info_sp = scipy.linalg.lapack.sgetrf(A)
+    assert int(Ft.info) == info_sp
+
+
 @pytest.mark.parametrize(
     "dtype", [np.float64, np.float32, np.complex128, np.complex64],
     ids=lambda d: np.dtype(d).name,
