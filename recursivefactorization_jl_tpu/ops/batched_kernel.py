@@ -217,7 +217,12 @@ def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
     # step ops' select/FMA temporaries (~4x block; the swap variant's
     # full-width row selects need more headroom).
     mult = 7 if swap else 5
-    vmem_limit = min(100 * 1024 * 1024, max(mult * G * m * n * 4, 1 << 24))
+    # +4 MB fixed headroom: the multiplier models the block-proportional
+    # temporaries only, and Mosaic's stack allocation runs a few hundred
+    # KB past it (measured: noswap at 128x128/G=128 needs 40.27 MB
+    # against the 40 MB the bare multiplier predicts).
+    vmem_limit = min(100 * 1024 * 1024,
+                     max(mult * G * m * n * 4 + (4 << 20), 1 << 24))
     out, piv, info = pl.pallas_call(
         kernel,
         grid=(nb,),
