@@ -39,6 +39,7 @@ REPS = int(os.environ.get("R3_REPS", "3"))
 
 def measure(variants, ks=KS, reps=REPS):
     runs = {name: ({k: looped(f, k) for k in ks}, A) for name, (f, A) in variants.items()}
+    dead = set()
     for name, (rs, A) in runs.items():
         for k in ks:
             t0 = time.time()
@@ -47,9 +48,16 @@ def measure(variants, ks=KS, reps=REPS):
                     np.asarray(rs[k](A)); break
                 except Exception as e:
                     log(f"  warm {name} K={k} attempt{attempt} failed: {str(e)[:160]}")
-                    if attempt == 2: raise
+                    if attempt == 2:
+                        dead.add(name)
+                        break
                     time.sleep(60)
+            if name in dead:
+                log(f"  variant {name} DROPPED (compile/run failure)")
+                break
             log(f"  warm {name} K={k}: {time.time()-t0:.1f}s")
+    for name in dead:
+        del runs[name]
     times = {name: {k: [] for k in ks} for name in runs}
     for _ in range(reps):
         for name, (rs, A) in runs.items():
@@ -92,6 +100,15 @@ for n in sizes:
         "xla": (lambda a: jax.vmap(jax.scipy.linalg.lu_factor)(a)[0], A),
         "swap": (lambda a: batched_lu_pallas(a, True, with_perm=False)[0], A),
         "noswap": (lambda a: batched_lu_pallas_noswap(a, True)[0], A),
+        # Wider lane groups: same total work, half the grid steps and
+        # half the per-matrix op issues — issue latency is the dominant
+        # cost of the step loop at these sizes.
+        "swap_g256": (
+            lambda a: batched_lu_pallas(a, True, group=256, with_perm=False)[0], A),
+        "noswap_g256": (
+            lambda a: batched_lu_pallas_noswap(a, True, group=256)[0], A),
+        "swap_g512": (
+            lambda a: batched_lu_pallas(a, True, group=512, with_perm=False)[0], A),
     }
     res = measure(variants)
     base = res["xla"]
