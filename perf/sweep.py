@@ -159,6 +159,11 @@ def main() -> None:
     vs = variants(dtype, args.inplace_compare, args.whole, args.no_bf16x3)
     header = ["n"] + list(vs)
     print("\t".join(header))
+    # rf_default delegates to the platform kernel at or below the auto
+    # threshold (the reference's stdlib escape, ref src/lu.jl:70-73);
+    # annotate those cells — they time the SAME executable as xla_lu, so
+    # any difference there is pure relay drift, not a kernel comparison.
+    auto_thresh = rf.default_config().resolved_xla_threshold(dtype)
     for n in sizes:
         A = jnp.asarray(rng.standard_normal((n, n)), dtype=dtype)
         row = [str(n)]
@@ -166,10 +171,12 @@ def main() -> None:
             t = best_time(fn, A)
             gf = luflop(n, n) / t / 1e9
             row.append(f"{gf:.1f}")
-            records.append(
-                {"variant": name, "n": n, "dtype": dtype.name,
-                 "time_s": t, "gflops": gf}
-            )
+            rec = {"variant": name, "n": n, "dtype": dtype.name,
+                   "time_s": t, "gflops": gf}
+            if (name == "rf_default" and auto_thresh is not None
+                    and n <= auto_thresh):
+                rec["delegates_to_xla"] = True
+            records.append(rec)
         print("\t".join(row))
 
     if args.rect:
