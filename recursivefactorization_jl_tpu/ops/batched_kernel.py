@@ -191,7 +191,7 @@ def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
     minmn = min(m, n)
     if interpret is None:
         interpret = not is_tpu_backend()
-    picked = pick_group(m, n, jnp.dtype(A.dtype).itemsize)
+    picked = pick_group(m, n, jnp.dtype(A.dtype).itemsize, group)
     if picked == 0 and not interpret:
         # A silent clamp here would compile anyway and die inside Mosaic
         # with an opaque scoped-vmem error; fail with an actionable one.
