@@ -240,7 +240,14 @@ def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):
         # small matrices, src/lu.jl:70-73): XLA's blocked getrf wins
         # below the measured crossover.  info is derived from the U
         # diagonal (a zero pivot leaves U[k,k] == 0; first occurrence
-        # matches the elimination-order convention).
+        # matches the elimination-order convention).  Limitation: this
+        # reports info != 0 only when the platform kernel's U diagonal
+        # is EXACTLY zero.  If XLA's blocked elimination rounds a pivot
+        # that LAPACK's update order would make exactly zero to a tiny
+        # nonzero (or vice versa), info parity with *getrf breaks —
+        # inherent to deriving info from a third-party kernel's output;
+        # this package's own kernels (the paths above/below) flag the
+        # zero pivot at the elimination step itself.
         f, ipiv, perm = jax.lax.linalg.lu(A)
         diag = jnp.diagonal(f)[:minmn]
         zero = diag == 0
