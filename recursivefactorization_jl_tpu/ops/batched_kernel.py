@@ -75,21 +75,52 @@ def pick_group(m: int, n: int, itemsize: int, group: int = GROUP) -> int:
     return g if g >= 128 else 0
 
 
-def _lane_kernel(a_ref, out_ref, piv_ref, info_ref, used_ref, *,
-                 pivot: bool, swap: bool):
+def _lane_kernel(a_ref, out_ref, piv_ref, perm_ref, info_ref, used_ref, *,
+                 pivot: bool, swap: bool, col_chunks: int = 1,
+                 track_perm: bool = False):
     """Shared body of both variants. Refs:
     a/out  : (n, m, G)   column-major lane-batched block (aliased)
     piv    : (minmn, G)  pivot row per step (ipiv for swap, physical
                          pivot row = composed perm for noswap)
+    perm   : (minmn, G)  composed permutation (swap + track_perm only;
+                         otherwise left untouched)
     info   : (1, G)      reference info convention
-    used   : (1, m, G)   f32 scratch, consumed-row mask (noswap only)
+    used   : (1, m, G)   f32 scratch: consumed-row mask (noswap) or the
+                         running permutation (swap + track_perm)
+
+    ``track_perm`` (swap only, square): maintain the composed
+    permutation alongside the ipiv sequence with thin (1, m, G) ops per
+    step — bitwise-identical to ``ipiv_to_perm(ipiv)`` (entries swap
+    unconditionally on the *stored* pivot row, mirroring LAPACK's
+    convention of recording IPIV even when the zero-pivot interchange
+    is skipped) but without the sequential minmn-step post-hoc chain.
+
+    ``col_chunks`` (noswap only): split the column axis of the U-row
+    reduce + fused write into this many static chunks, each guarded by
+    ``pl.when(k < chunk_end)``.  Without row swaps, columns j < k are
+    final and untouched by step k, so trailing-only chunks skip — the
+    dominant full-block passes shrink from n to ~(n - k) columns on
+    average (~2x less VMEM traffic over the whole factorization), at
+    the price of ``col_chunks``x more op issues per step.  1 = the
+    original single full-block pass.  The swap variant cannot chunk:
+    its row interchange touches every column including the finished
+    L columns (LAPACK layout).
     """
     n, m, G = a_ref.shape
     minmn = min(m, n)
     out_ref[:, :, :] = a_ref[:, :, :]
     info_ref[0, :] = jnp.zeros((G,), jnp.int32)
+    if not (swap and track_perm):
+        # tiny deterministic fill so the unused perm output is never
+        # read uninitialized
+        perm_ref[:, :] = jnp.zeros((minmn, G), jnp.int32)
     if not swap:
         used_ref[:, :, :] = jnp.zeros((1, m, G), jnp.float32)
+    elif track_perm:
+        # int iota then cast — Mosaic's tpu.iota is integer-only
+        used_ref[:, :, :] = lax.broadcasted_iota(
+            jnp.int32, (1, m, G), 1
+        ).astype(jnp.float32)
 
     ii = lax.broadcasted_iota(jnp.int32, (1, m, G), 1)   # row ids
     ci = lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)   # column ids
@@ -104,6 +135,7 @@ def _lane_kernel(a_ref, out_ref, piv_ref, info_ref, used_ref, *,
         # rank-1-FMA pass.  The round-2 kernel spent 7 block passes per
         # step (2 swap reduces + 2 swap selects + swap write + a third
         # U-row reduce + FMA write); this spends 4 (swap) / 3 (noswap).
+        chunked = (not swap) and col_chunks > 1
         col = out_ref[pl.ds(k, 1), :, :]                 # (1, m, G)
         if swap:
             avail = ii >= k
@@ -128,18 +160,49 @@ def _lane_kernel(a_ref, out_ref, piv_ref, info_ref, used_ref, *,
         nonzero = pivval != 0.0
         inv = jnp.where(nonzero, 1.0, 0.0) / jnp.where(nonzero, pivval, 1.0)
 
-        blk = out_ref[:, :, :]
-        # row kp — doubles as the U row when the swap is taken
-        rowkp = jnp.sum(jnp.where(is_kp, blk, 0.0), axis=1,
-                        keepdims=True)                        # (n, 1, G)
-        if swap:
+        if chunked:
+            # chunked noswap: no full-block read here — the U-row
+            # extraction happens per column chunk below
+            used_ref[:, :, :] = (
+                used_ref[:, :, :] + is_kp.astype(jnp.float32)
+            )
+            elim_rows = avail & jnp.logical_not(is_kp)
+            blk = None
+            swap_sel = lambda b: b
+        elif not swap:
+            blk = out_ref[:, :, :]
+            rowkp = jnp.sum(jnp.where(is_kp, blk, 0.0), axis=1,
+                            keepdims=True)                    # (n, 1, G)
+            used_ref[:, :, :] = (
+                used_ref[:, :, :] + is_kp.astype(jnp.float32)
+            )
+            elim_rows = avail & jnp.logical_not(is_kp)
+            urow = rowkp
+            swap_sel = lambda b: b
+        else:
+            blk = out_ref[:, :, :]
+            # row kp — doubles as the U row when the swap is taken
+            rowkp = jnp.sum(jnp.where(is_kp, blk, 0.0), axis=1,
+                            keepdims=True)                    # (n, 1, G)
             # interchange rows k <-> kp across ALL columns (skipped on a
             # zero pivot, ref src/lu.jl:299-307), fused into the main
             # pass below
             do_swap = nonzero & (kp != k)                     # (1, 1, G)
             is_k = ii == k                                    # (1, m, G)
-            rowk = jnp.sum(jnp.where(is_k, blk, 0.0), axis=1,
-                           keepdims=True)                     # (n, 1, G)
+            # row k sits at a known (lane-uniform) sublane index, so a
+            # thin dynamic slice replaces a full-block masked reduce —
+            # one fewer (n, m, G) VMEM pass per step
+            rowk = out_ref[:, pl.ds(k, 1), :]                 # (n, 1, G)
+            if track_perm:
+                # swap perm entries k <-> kp UNCONDITIONALLY (matches
+                # ipiv_to_perm over the stored ipiv, incl. zero pivots)
+                pcur = used_ref[:, :, :]                      # (1, m, G)
+                pk = used_ref[:, pl.ds(k, 1), :]              # (1, 1, G)
+                pkp = jnp.sum(jnp.where(is_kp, pcur, 0.0), axis=1,
+                              keepdims=True)                  # (1, 1, G)
+                used_ref[:, :, :] = jnp.where(
+                    is_k, pkp, jnp.where(is_kp, pk, pcur)
+                )
             # post-swap pivot column (cheap: (1, m, G) ops only)
             col_at_k = jnp.sum(jnp.where(is_k, col, 0.0), axis=1,
                                keepdims=True)                 # (1, 1, G)
@@ -152,18 +215,12 @@ def _lane_kernel(a_ref, out_ref, piv_ref, info_ref, used_ref, *,
             swap_sel = lambda b: jnp.where(
                 is_k & do_swap, rowkp, jnp.where(is_kp & do_swap, rowk, b)
             )
-        else:
-            used_ref[:, :, :] = used_ref[:, :, :] + is_kp.astype(jnp.float32)
-            elim_rows = avail & jnp.logical_not(is_kp)
-            urow = rowkp
-            swap_sel = lambda b: b
 
         # scaled pivot column (no scale on zero pivot, but the rank-1
         # still uses the raw values, ref src/lu.jl:309-326)
         newcol = jnp.where(elim_rows & nonzero, col * inv, col)
         lcol = jnp.where(elim_rows & nonzero, col * inv,
                          jnp.where(elim_rows, col, 0.0))      # (1, m, G)
-        urow = jnp.where(ci > k, urow, 0.0)
 
         info = info_ref[0, :]
         nz1 = nonzero[0, 0, :]
@@ -173,20 +230,49 @@ def _lane_kernel(a_ref, out_ref, piv_ref, info_ref, used_ref, *,
             info,
         )
 
-        # ONE fused pass: swap-select, rank-1 FMA, pivot-column write
-        out_ref[:, :, :] = jnp.where(
-            ci == k, newcol, swap_sel(blk) - urow * lcol
-        )
+        if chunked:
+            # per-chunk U-row extraction + fused write; trailing-only
+            # chunks (q1 <= k: every column already final) skip
+            nc = -(-n // col_chunks)
+            for q0 in range(0, n, nc):
+                q1 = min(q0 + nc, n)
+                ci_q = (
+                    lax.broadcasted_iota(jnp.int32, (q1 - q0, 1, 1), 0)
+                    + q0
+                )
+
+                @pl.when(k < q1)
+                def _chunk(q0=q0, q1=q1, ci_q=ci_q):
+                    blk_q = out_ref[q0:q1, :, :]
+                    rowkp_q = jnp.sum(
+                        jnp.where(is_kp, blk_q, 0.0), axis=1, keepdims=True
+                    )
+                    urow_q = jnp.where(ci_q > k, rowkp_q, 0.0)
+                    out_ref[q0:q1, :, :] = jnp.where(
+                        ci_q == k, newcol, blk_q - urow_q * lcol
+                    )
+        else:
+            urow = jnp.where(ci > k, urow, 0.0)
+            # ONE fused pass: swap-select, rank-1 FMA, pivot-column write
+            out_ref[:, :, :] = jnp.where(
+                ci == k, newcol, swap_sel(blk) - urow * lcol
+            )
         return 0
 
     lax.fori_loop(0, minmn, body, 0)
+    if swap and track_perm:
+        # (1, m, G) -> (m, G): drop the singleton major dim (layout-
+        # preserving) and cast the exactly-representable row indices
+        perm_ref[:, :] = used_ref[:, :, :].reshape(m, G).astype(jnp.int32)
 
 
 def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
-                      interpret, group: int):
+                      interpret, group: int, col_chunks: int = 1,
+                      track_perm: bool = False):
     """Pad/transpose to the lane-batched layout and run the kernel.
     ``A``: (B, m, n).  Returns (out (n, m, Bp), piv (minmn, Bp),
-    info (1, Bp), Bp)."""
+    perm (minmn, Bp) (garbage unless ``track_perm``), info (1, Bp),
+    Bp)."""
     B, m, n = A.shape
     minmn = min(m, n)
     if interpret is None:
@@ -210,7 +296,13 @@ def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
     nb = Bp // G
 
     At = jnp.transpose(A, (2, 1, 0))  # (n, m, Bp)
-    kernel = functools.partial(_lane_kernel, pivot=pivot, swap=swap)
+    if col_chunks > 1 and swap:
+        raise ValueError("col_chunks applies to the noswap kernel only")
+    if track_perm and (not swap or m != n):
+        raise ValueError("track_perm requires the swap kernel and square "
+                         "matrices")
+    kernel = functools.partial(_lane_kernel, pivot=pivot, swap=swap,
+                               col_chunks=col_chunks, track_perm=track_perm)
     # The Mosaic DEFAULT scoped-vmem limit is 16 MB; the physical VMEM
     # on v5e is far larger, and bigger groups amortize per-op issue
     # overhead, so raise the limit to fit the (n, m, G) block plus the
@@ -223,7 +315,7 @@ def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
     # against the 40 MB the bare multiplier predicts).
     vmem_limit = min(100 * 1024 * 1024,
                      max(mult * G * m * n * 4 + (4 << 20), 1 << 24))
-    out, piv, info = pl.pallas_call(
+    out, piv, perm, info = pl.pallas_call(
         kernel,
         grid=(nb,),
         compiler_params=pltpu.CompilerParams(
@@ -231,6 +323,7 @@ def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, m, Bp), A.dtype),
+            jax.ShapeDtypeStruct((minmn, Bp), jnp.int32),
             jax.ShapeDtypeStruct((minmn, Bp), jnp.int32),
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
         ),
@@ -243,6 +336,8 @@ def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((minmn, G), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((minmn, G), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
         ),
@@ -250,7 +345,7 @@ def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
         input_output_aliases={0: 0},
         interpret=interpret,
     )(At)
-    return out, piv, info, B
+    return out, piv, perm, info, B
 
 
 @functools.partial(
@@ -268,37 +363,54 @@ def batched_lu_pallas(
     perm (B,m), info (B,))``.  B is padded internally to a multiple of
     the group size with identity matrices.
 
-    ``with_perm=False`` returns ``perm=None`` and skips composing the
-    swap sequence into a permutation — the composition is a vmapped
-    sequential minmn-step ``ipiv_to_perm`` chain, which callers that
-    only need ipiv (e.g. ``batched_lu_factor``) should not pay for.
+    ``with_perm=False`` returns ``perm=None`` and skips the permutation
+    bookkeeping entirely; callers that only need ipiv
+    (e.g. ``batched_lu_factor``) should not pay for it.  With
+    ``with_perm=True`` and square matrices, the permutation is tracked
+    in-kernel with thin per-step ops (bitwise-equal to
+    ``ipiv_to_perm(ipiv)`` but without its sequential post-hoc chain);
+    rectangular batches fall back to composing from ipiv.
     """
-    out, piv, info, B = _call_lane_kernel(A, pivot, True, interpret, group)
+    B, m, n = A.shape
+    track = with_perm and m == n
+    out, piv, perm, info, B = _call_lane_kernel(
+        A, pivot, True, interpret, group, track_perm=track
+    )
     factors = jnp.transpose(out, (2, 1, 0))[:B]
     ipiv = jnp.transpose(piv, (1, 0))[:B]
     info = info[0, :B]
     if not with_perm:
         return factors, ipiv, None, info
+    if track:
+        perm = jnp.transpose(perm, (1, 0))[:B]
+        return factors, ipiv, perm, info
     from ..utils.perm import ipiv_to_perm
 
-    perm = jax.vmap(lambda p: ipiv_to_perm(p, A.shape[1]))(ipiv)
+    perm = jax.vmap(lambda p: ipiv_to_perm(p, m))(ipiv)
     return factors, ipiv, perm, info
 
 
-@functools.partial(jax.jit, static_argnames=("pivot", "interpret", "group"))
+@functools.partial(
+    jax.jit, static_argnames=("pivot", "interpret", "group", "col_chunks")
+)
 def batched_lu_pallas_noswap(
-    A: jax.Array, pivot: bool = True, interpret=None, group: int = GROUP
+    A: jax.Array, pivot: bool = True, interpret=None, group: int = GROUP,
+    col_chunks: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """No-swap batched LU for square matrices: returns
     ``(factors (B,n,n), perm (B,n), info (B,))`` with
     ``L @ U == A[perm, :]``.  Faster than :func:`batched_lu_pallas`
     (no per-step swap passes) but does not produce a LAPACK ipiv
     sequence and breaks pivot ties by physical row index.
+    ``col_chunks`` > 1 skips finished-column chunks per step (see
+    :func:`_lane_kernel`).
     """
     B, m, n = A.shape
     if m != n:
         raise ValueError("batched_lu_pallas_noswap requires square matrices")
-    out, prow, info, B = _call_lane_kernel(A, pivot, False, interpret, group)
+    out, prow, _perm, info, B = _call_lane_kernel(
+        A, pivot, False, interpret, group, col_chunks
+    )
     phys = jnp.transpose(out, (2, 1, 0))[:B]       # (B, m, n) physical order
     perm = jnp.transpose(prow, (1, 0))[:B]         # (B, n)
     info = info[0, :B]

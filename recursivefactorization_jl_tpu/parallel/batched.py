@@ -40,6 +40,15 @@ from ..utils.perm import ipiv_to_perm
 # vmapped blocked path wins.
 _PALLAS_BATCH_MAX_N = 128
 
+# batched_lu_factor_perm kernel routing (v5e, 10k-matrix batches,
+# median interleaved marginals): at n <= 64 the per-step op-issue
+# latency dominates and the swap kernel with in-kernel perm tracking
+# wins (n=64: 8.9 ms vs noswap 12.6); above, the full-block VMEM
+# traffic dominates and the noswap kernel with finished-column-chunk
+# skipping wins (n=128: 35.5 ms vs swap 70.1).
+_PERM_SWAP_MAX_N = 64
+_PERM_NOSWAP_COL_CHUNKS = 8
+
 
 def _use_batched_pallas(dtype, m: int, n: int, config: LUConfig) -> bool:
     if config.backend == "xla":
@@ -89,13 +98,15 @@ def batched_lu_factor_perm(
     """Fast batched factorization for SQUARE matrices: returns
     ``(factors, perm, info)`` with ``L @ U == A[perm, :]``.
 
-    Uses the no-swap Pallas kernel (ops/batched_kernel.py) on TPU —
-    measurably faster than :func:`batched_lu_factor` because the pivot
-    chain never materializes row swaps — at the cost of not producing a
-    LAPACK ipiv swap sequence (ties break by physical row index).
-    Prefer this + :func:`batched_lu_solve_perm` for bulk solve
-    pipelines; use :func:`batched_lu_factor` when exact LAPACK ipiv
-    semantics are required.
+    Routes between two Pallas kernels by the measured regime (see
+    ops/batched_kernel.py): at small n the swap kernel with in-kernel
+    perm tracking (LAPACK-identical factors, perm ==
+    ``ipiv_to_perm(ipiv)``); at larger n the no-swap kernel with
+    finished-column chunk skipping (pivot ties break by physical row
+    index there).  Both satisfy ``L @ U == A[perm, :]``.  Prefer this +
+    :func:`batched_lu_solve_perm` for bulk solve pipelines; use
+    :func:`batched_lu_factor` when exact LAPACK ipiv semantics are
+    required.
     """
     if A.ndim != 3 or A.shape[1] != A.shape[2]:
         raise ValueError(
@@ -103,7 +114,12 @@ def batched_lu_factor_perm(
         )
     config = config or default_config()
     if _use_batched_pallas(A.dtype, A.shape[1], A.shape[2], config):
-        return batched_lu_pallas_noswap(A, pivot)
+        if A.shape[1] <= _PERM_SWAP_MAX_N:
+            f, _ipiv, perm, info = batched_lu_pallas(A, pivot, with_perm=True)
+            return f, perm, info
+        return batched_lu_pallas_noswap(
+            A, pivot, col_chunks=_PERM_NOSWAP_COL_CHUNKS
+        )
     f, _ipiv, perm, info = jax.vmap(lambda a: unblocked_lu(a, pivot))(A)
     return f, perm, info
 

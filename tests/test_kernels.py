@@ -10,6 +10,7 @@ against `unblocked_lu`.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from recursivefactorization_jl_tpu.ops.batched_kernel import batched_lu_pallas
@@ -207,6 +208,38 @@ def test_batched_noswap_kernel(pivot):
         if pivot:
             # partial pivoting bounds multipliers by 1
             assert np.max(np.abs(L)) <= 1.0 + 1e-6
+
+
+def test_batched_noswap_col_chunks_bitwise():
+    """col_chunks only re-tiles the per-step passes; results must be
+    bitwise identical to the single-pass kernel."""
+    from recursivefactorization_jl_tpu.ops.batched_kernel import (
+        batched_lu_pallas_noswap,
+    )
+
+    B, n = 6, 28
+    A = jnp.asarray(RNG.rand(B, n, n), dtype=jnp.float32)
+    f1, p1, i1 = batched_lu_pallas_noswap(A, True, interpret=True, group=4)
+    for cc in (2, 4, 5):
+        f2, p2, i2 = batched_lu_pallas_noswap(
+            A, True, interpret=True, group=4, col_chunks=cc
+        )
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_batched_swap_perm_rect_fallback():
+    """Rectangular batches can't track the perm in-kernel (perm has m
+    entries, piv minmn); with_perm must fall back to composing ipiv and
+    produce the same permutation contract."""
+    from recursivefactorization_jl_tpu.utils.perm import ipiv_to_perm
+
+    B, m, n = 5, 14, 10
+    A = jnp.asarray(RNG.rand(B, m, n), dtype=jnp.float32)
+    f, ipiv, perm, info = batched_lu_pallas(A, True, interpret=True, group=4)
+    pref = jax.vmap(lambda p: ipiv_to_perm(p, m))(ipiv)
+    np.testing.assert_array_equal(np.asarray(perm), np.asarray(pref))
 
 
 def test_batched_noswap_zero_pivot_info():
