@@ -145,7 +145,9 @@ def main() -> None:
                     help="also compare RBT pivot-free vs pivoted LU solve")
     args = ap.parse_args()
 
-    sizes = [int(s) for s in args.sizes.split(",")]
+    # empty --sizes "" skips the single-matrix sweep (e.g. a
+    # batched-only capture)
+    sizes = [int(s) for s in args.sizes.split(",") if s]
     if args.dtype == "float64":
         # without this, float64 silently downcasts to f32 and the
         # "f64" sweep measures nothing
