@@ -262,8 +262,12 @@ def test_batched_kernels_on_chip(swap):
             batched_lu_pallas(jnp.asarray(A), True, interpret=False)
         )
     else:
+        # col_chunks=8 is the production routing of
+        # batched_lu_factor_perm above n=64 (bitwise == unchunked)
         f, perm, info = jax.device_get(
-            batched_lu_pallas_noswap(jnp.asarray(A), True, interpret=False)
+            batched_lu_pallas_noswap(
+                jnp.asarray(A), True, interpret=False, col_chunks=8
+            )
         )
     eps = np.finfo(np.float32).eps
     assert int(info[7]) == 4
@@ -271,12 +275,19 @@ def test_batched_kernels_on_chip(swap):
         if int(info[i]) != 0:
             continue
         assert np_residual(A[i], f[i], perm[i]) < 20 * n * eps, i
-    # spot-check ipiv parity with scipy on the swap kernel
+    # spot-check swap-kernel pivot outputs: ipiv parity with scipy and
+    # the in-kernel-tracked perm against the post-hoc composition
     if swap:
         import scipy.linalg
 
+        from recursivefactorization_jl_tpu.utils.perm import ipiv_to_perm
+
         _, piv_sp = scipy.linalg.lu_factor(A[0])
         np.testing.assert_array_equal(ipiv[0], piv_sp)
+        pref = jax.device_get(
+            jax.vmap(lambda p: ipiv_to_perm(p, n))(jnp.asarray(ipiv))
+        )
+        np.testing.assert_array_equal(perm, pref)
 
 
 @requires_tpu
