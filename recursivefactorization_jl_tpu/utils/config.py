@@ -131,7 +131,10 @@ class LUConfig:
     # blocked schedule of the same block.  'auto' -> small_threshold
     # when the panel variant is a fori kernel (it alone scales to
     # whole-matrix widths); None disables; an int is honored as given.
-    tail_threshold: object = None
+    # Default 'auto' (round-3 A/B at n=4096 f32: 8.29 ms with the tail
+    # vs 8.45 without; wider panels first, w1024/w2048, both lose —
+    # w2048 9.94 ms, w1024 hits the compile-helper crash class).
+    tail_threshold: object = "auto"
 
     def resolved_tail_threshold(self) -> Optional[int]:
         if self.tail_threshold == "auto":
