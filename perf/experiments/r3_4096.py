@@ -75,20 +75,45 @@ def measure(variants, ks=KS, reps=REPS):
     return res
 
 rng = np.random.RandomState(123)
-N = 4096
+N = int(os.environ.get("R3_N", "4096"))
 A = jnp.asarray(rng.standard_normal((N, N)), dtype=jnp.float32)
-widths = [int(x) for x in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["256", "512"])]
 
+
+def make(spec):
+    """Spec tokens joined by '_': wNNN (panel width), shadow (static
+    kernel), bf16x3 (Schur precision), uN (fori step unroll), tail /
+    notail (recursive-tail override)."""
+    kw = dict(panel_variant="fori3", panel_micro=32)
+    for tok in spec.split("_"):
+        if tok.startswith("w"):
+            kw["panel_width"] = int(tok[1:])
+            kw["inner_panel_width"] = int(tok[1:])
+        elif tok == "shadow":
+            kw["panel_variant"] = "shadow"
+        elif tok == "bf16x3":
+            kw["schur_precision"] = "bf16x3"
+        elif tok.startswith("u"):
+            kw["panel_unroll"] = int(tok[1:])
+        elif tok.startswith("m"):
+            kw["panel_micro"] = int(tok[1:])
+        elif tok == "notail":
+            kw["tail_threshold"] = None
+        elif tok == "tail":
+            kw["tail_threshold"] = "auto"
+        elif tok == "default":
+            kw = {}
+            break
+        else:
+            raise ValueError(tok)
+    cfg = rf.LUConfig(**kw)
+    return lambda a: _dispatch_factor(a, True, cfg)[0]
+
+
+specs = (sys.argv[1].split(",") if len(sys.argv) > 1
+         else ["w256", "w512"])
 variants = {"xla": (lambda a: jax.scipy.linalg.lu_factor(a)[0], A)}
-variants["shadow_w256"] = (
-    lambda a: _dispatch_factor(a, True, rf.LUConfig(
-        panel_width=256, panel_variant="shadow", inner_panel_width=256,
-        xla_threshold=None))[0], A)
-for wdt in widths:
-    cfg = rf.LUConfig(panel_width=wdt, panel_variant="fori3",
-                      inner_panel_width=wdt, panel_micro=32)
-    variants[f"fori3_w{wdt}"] = (
-        (lambda c: lambda a: _dispatch_factor(a, True, c)[0])(cfg), A)
+for spec in specs:
+    variants[spec] = (make(spec), A)
 
 res = measure(variants)
 base = res["xla"]

@@ -88,13 +88,16 @@ def make(spec):
     var = parts[0]
     mu = 32
     ou = 256
+    ur = 1
     for p in parts[1:]:
         if p.startswith("m"):
             mu = int(p[1:])
         elif p.startswith("o"):
             ou = int(p[1:])
+        elif p.startswith("u"):
+            ur = int(p[1:])
     return lambda a: panel_factor_pallas(
-        a, True, micro=mu, variant=var, outer=ou
+        a, True, micro=mu, variant=var, outer=ou, unroll=ur
     )[0]
 
 for n in sizes:

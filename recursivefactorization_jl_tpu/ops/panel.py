@@ -86,6 +86,7 @@ def panel_factor(
             micro=config.panel_micro,
             variant=config.panel_variant,
             outer=config.panel_outer,
+            unroll=config.panel_unroll,
         )
     return unblocked_lu(panel, pivot)
 
@@ -358,6 +359,7 @@ def _panel_kernel_fori(
     micro: int,
     slim: bool = False,
     outer=None,
+    unroll: int = 1,
 ):
     """fori-loop shadow panel kernel — scales to WHOLE-MATRIX LU.
 
@@ -576,9 +578,27 @@ def _panel_kernel_fori(
         nb = p1 - p0
         sh_ref[:nb, :] = jnp.transpose(out_ref[:, p0:p1])
 
-        jax.lax.fori_loop(
-            0, nb, functools.partial(step, p0=p0, nb=nb), 0
-        )
+        # `unroll` consecutive elimination steps per fori iteration:
+        # the steps stay in exact program order (bitwise-identical
+        # results), but the loop bookkeeping amortizes and Mosaic can
+        # overlap independent ops across adjacent steps (e.g. step
+        # 2j's main-buffer swap with step 2j+1's pivot reduces) — the
+        # serial chain's ~0.6 us/step issue latency is the single-
+        # matrix floor (docs/DESIGN.md lesson 2).
+        ub = unroll if unroll > 1 and nb % unroll == 0 else 1
+        if ub > 1:
+
+            def body_u(j, carry):
+                c = carry
+                for t in range(ub):
+                    c = step(j * ub + t, c, p0, nb)
+                return c
+
+            jax.lax.fori_loop(0, nb // ub, body_u, 0)
+        else:
+            jax.lax.fori_loop(
+                0, nb, functools.partial(step, p0=p0, nb=nb), 0
+            )
         out_ref[:, p0:p1] = jnp.transpose(sh_ref[:nb, :])
 
         if not two_level:
@@ -829,7 +849,9 @@ def panel_factor_noswap_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pivot", "interpret", "micro", "variant", "outer"),
+    static_argnames=(
+        "pivot", "interpret", "micro", "variant", "outer", "unroll"
+    ),
 )
 def panel_factor_pallas(
     panel: jax.Array,
@@ -838,6 +860,7 @@ def panel_factor_pallas(
     micro: int = 16,
     variant: str = "shadow",
     outer: int = 256,
+    unroll: int = 1,
 ):
     m, w = panel.shape
     minmn = min(m, w)
@@ -850,6 +873,7 @@ def panel_factor_pallas(
             micro=micro,
             slim=(variant in ("fori2", "fori3")),
             outer=(outer if variant == "fori3" else None),
+            unroll=unroll,
         )
         extra = {
             "scratch_shapes": [
@@ -895,4 +919,242 @@ def panel_factor_pallas(
         interpret=interpret,
         **extra,
     )(panel)
+    return out, piv, perm[:, 0], info[0]
+
+
+# ---------------------------------------------------------------------------
+# Offset panel kernel (tensor-parallel panels)
+# ---------------------------------------------------------------------------
+
+
+def _offset_panel_kernel(
+    ofs_ref,
+    a_ref,
+    out_ref,
+    piv_ref,
+    perm_ref,
+    info_ref,
+    sh_ref,
+    *,
+    pivot: bool,
+    micro: int,
+    unroll: int = 1,
+):
+    """fori shadow panel kernel with a TRACED global row offset.
+
+    The tensor-parallel panel loop (parallel/blockcyclic.py) factors a
+    full-height (H, w) panel whose elimination starts at traced row
+    ``ofs`` (column k eliminates row ofs+k; rows < ofs are final and
+    never touched).  This is the Pallas replacement for the pure-JAX
+    ``_offset_panel_lu`` select chain: per elimination step, XLA emits
+    ~6 full (H, w) where/dynamic-slice passes through HBM, while here
+    the step runs on the VMEM-resident lane-major shadow exactly like
+    :func:`_panel_kernel_fori`'s slim step — the offset only shifts
+    the ROW masks/indices (``lanes >= ofs+k`` instead of ``>= k``) and
+    arrives as a scalar in SMEM, so one compiled kernel serves every
+    panel of the shard_map fori loop.
+
+    Boundaries are single-level (tp panel widths are <= 256, below the
+    two-level kernel's outer block) and full-height row-masked: the
+    trailing-column Schur runs as ONE MXU matmul with L zeroed at rows
+    < ofs+p1 — the same masked-flops-for-static-shapes trade the tp
+    schedule itself makes (blockcyclic.py module docstring).
+
+    Semantics (first-occurrence argmax over rows >= ofs+k, zero pivot
+    => no swap/scale but the rank-1 still runs, signed 1-based local
+    info — ref src/lu.jl:289-319) match ``_offset_panel_lu``; the
+    trailing-column association differs (delayed micro-boundary
+    updates vs eager full-width rank-1), so cross-backend results
+    agree to rounding, not bitwise.  Returns GLOBAL pivot rows in
+    ``piv`` and the composed permutation of all H rows in ``perm``.
+    """
+    H, w = out_ref.shape
+    f32 = jnp.float32
+    ofs = ofs_ref[0]
+    out_ref[:, :] = a_ref[:, :]
+    info_ref[0] = 0
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+    nsh = sh_ref.shape[0]  # micro + 1 (last row carries the perm)
+    subs = jax.lax.broadcasted_iota(jnp.int32, (nsh, 1), 0)
+    sh_ref[nsh - 1, :] = lanes[0, :].astype(f32)
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32, precision=hi)
+
+    def step(i, carry, p0, nb):
+        k = p0 + i
+        gk = ofs + k
+        rowr = sh_ref[pl.ds(i, 1), :]  # logical column k, lane-major
+        if pivot:
+            absrow = jnp.where(lanes >= gk, jnp.abs(rowr), -jnp.inf)
+            maxv = jnp.max(absrow)
+            kp = jnp.min(jnp.where(absrow == maxv, lanes, H))
+            kp = jnp.minimum(kp, H - 1).astype(jnp.int32)
+        else:
+            kp = gk.astype(jnp.int32)
+        piv_ref[k] = kp
+        is_kp_l = lanes == kp
+        is_k_l = lanes == gk
+        pivval = jnp.sum(jnp.where(is_kp_l, rowr, 0.0))
+        rk_val = jnp.sum(jnp.where(is_k_l, rowr, 0.0))
+        nonzero = pivval != 0.0
+        do_swap = nonzero & (kp != gk) if pivot else jnp.asarray(False)
+
+        if pivot:
+
+            @pl.when(do_swap)
+            def _swap_main():
+                rk = out_ref[pl.ds(gk, 1), :]
+                rkp = out_ref[pl.ds(kp, 1), :]
+                out_ref[pl.ds(gk, 1), :] = rkp
+                out_ref[pl.ds(kp, 1), :] = rk
+
+        @pl.when(jnp.logical_not(nonzero) & (info_ref[0] == 0))
+        def _info():
+            val = (k + 1) if pivot else -(k + 1)
+            info_ref[0] = jnp.asarray(val, jnp.int32)
+
+        # post-swap scaled row i, in registers ((1, H) ops only)
+        rr = rowr
+        if pivot:
+            rr = jnp.where(
+                do_swap & is_k_l, pivval,
+                jnp.where(do_swap & is_kp_l, rk_val, rowr),
+            )
+        psafe = jnp.where(nonzero, pivval, 1.0)
+        rr = jnp.where((lanes > gk) & nonzero, rr * (1.0 / psafe), rr)
+        lrow = jnp.where(lanes > gk, rr, 0.0)
+
+        sh = sh_ref[:, :]
+        colk = jnp.sum(jnp.where(is_k_l, sh, 0.0), axis=1, keepdims=True)
+        if pivot:
+            colkp = jnp.sum(jnp.where(is_kp_l, sh, 0.0), axis=1,
+                            keepdims=True)
+            u = jnp.where(do_swap, colkp, colk)
+            sh = jnp.where(
+                do_swap & is_k_l, colkp,
+                jnp.where(do_swap & is_kp_l, colk, sh),
+            )
+        else:
+            u = colk
+        rmask = (subs > i) & (subs < nb)
+        sh_ref[:, :] = jnp.where(
+            subs == i, rr, sh - jnp.where(rmask, u, 0.0) * lrow
+        )
+        return carry
+
+    for p0 in range(0, w, micro):
+        p1 = min(p0 + micro, w)
+        nb = p1 - p0
+        sh_ref[:nb, :] = jnp.transpose(out_ref[:, p0:p1])
+
+        ub = unroll if unroll > 1 and nb % unroll == 0 else 1
+        if ub > 1:
+
+            def body_u(j, carry, p0=p0, nb=nb):
+                c = carry
+                for t in range(ub):
+                    c = step(j * ub + t, c, p0, nb)
+                return c
+
+            jax.lax.fori_loop(0, nb // ub, body_u, 0)
+        else:
+            jax.lax.fori_loop(
+                0, nb, functools.partial(step, p0=p0, nb=nb), 0
+            )
+        out_ref[:, p0:p1] = jnp.transpose(sh_ref[:nb, :])
+
+        if p1 < w:
+            # forward substitution brings trailing columns of the
+            # block's OWN rows up to date (dynamic sublane RMWs,
+            # static sizes)
+            for i in range(p0, p1 - 1):
+                gi = ofs + i
+                ln = p1 - i - 1
+                lcol = out_ref[pl.ds(gi + 1, ln), i : i + 1]
+                urow = out_ref[pl.ds(gi, 1), p1:w]
+                out_ref[pl.ds(gi + 1, ln), p1:w] -= lcol * urow
+            # ONE full-height rank-nb MXU Schur, L masked to rows
+            # >= ofs+p1 (masked rows subtract exactly zero)
+            Lm = jnp.where(rows2 >= ofs + p1, out_ref[:, p0:p1], 0.0)
+            U12 = out_ref[pl.ds(ofs + p0, nb), p1:w]
+            out_ref[:, p1:w] -= mm(Lm, U12)
+
+    perm_ref[:, :] = jnp.transpose(
+        sh_ref[nsh - 1 : nsh, :]
+    ).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pivot", "interpret", "micro", "unroll"),
+)
+def offset_panel_factor_pallas(
+    panel: jax.Array,
+    ofs,
+    pivot: bool,
+    interpret=None,
+    micro: int = 32,
+    unroll: int = 1,
+):
+    """LU of a full-height (H, w) panel starting at traced row ``ofs``.
+
+    Drop-in Pallas counterpart of
+    :func:`~..parallel.blockcyclic._offset_panel_lu` (same returns:
+    ``(factors, piv (w,) global, perm (H,) composed, info signed)``).
+    """
+    H, w = panel.shape
+    if interpret is None:
+        interpret = not is_tpu_backend()
+    kernel = functools.partial(
+        _offset_panel_kernel, pivot=pivot, micro=micro, unroll=unroll
+    )
+    ofs_arr = jnp.asarray(ofs, jnp.int32).reshape(1)
+    # Under shard_map with vma checking, pallas outputs must declare
+    # how they vary over mesh axes; they inherit the inputs' union
+    # (the tp caller passes a replicated psum'd panel + replicated
+    # offset, so everything stays replicated, keeping the P() specs).
+    try:
+        vma = jax.typeof(panel).vma | jax.typeof(ofs_arr).vma
+    except AttributeError:  # pragma: no cover - older JAX
+        vma = None
+
+    def mk(shape, dt):
+        if vma is None:
+            return jax.ShapeDtypeStruct(shape, dt)
+        return jax.ShapeDtypeStruct(shape, dt, vma=vma)
+
+    out, piv, perm, info = pl.pallas_call(
+        kernel,
+        out_shape=(
+            mk((H, w), panel.dtype),
+            mk((w,), jnp.int32),
+            mk((H, 1), jnp.int32),
+            mk((1,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((micro + 1, H), panel.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                min(
+                    100 * 1024 * 1024,
+                    max(3 * H * w * 4 + 2 * micro * H * 4, 1 << 24),
+                )
+            )
+        ),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(ofs_arr, panel)
     return out, piv, perm[:, 0], info[0]

@@ -85,11 +85,14 @@ def _offset_panel_lu(panel: jax.Array, ofs, pivot: bool):
     vz = vma_zero(panel)
     piv0 = jnp.zeros((w,), jnp.int32) + vz
     perm0 = jnp.arange(n, dtype=jnp.int32) + vz
+    ofs = jnp.asarray(ofs, jnp.int32)
+    z = jnp.int32(0)
 
     def body(k, carry):
         A, piv, perm, info = carry
+        k = jnp.asarray(k, jnp.int32)
         gk = ofs + k
-        col = lax.dynamic_slice(A, (0, k), (n, 1))[:, 0]
+        col = lax.dynamic_slice(A, (z, k), (n, 1))[:, 0]
         if pivot:
             abscol = jnp.where(rowi >= gk, jnp.abs(col), -jnp.inf)
             kp = jnp.argmax(abscol).astype(jnp.int32)
@@ -102,7 +105,7 @@ def _offset_panel_lu(panel: jax.Array, ofs, pivot: bool):
 
         # interchange global rows gk <-> kp (skipped on zero pivot)
         do_swap = nonzero & (kp != gk)
-        rowgk = lax.dynamic_slice(A, (gk, 0), (1, w))[0]
+        rowgk = lax.dynamic_slice(A, (gk, z), (1, w))[0]
         rowkp = A[kp]
         sel_gk = (rowi[:, None] == gk) & do_swap
         sel_kp = (rowi[:, None] == kp) & do_swap
@@ -115,11 +118,11 @@ def _offset_panel_lu(panel: jax.Array, ofs, pivot: bool):
 
         # scale rows below the (global) diagonal
         akk_inv = jnp.where(nonzero, 1, 0) / jnp.where(nonzero, pivval, 1)
-        col = lax.dynamic_slice(A, (0, k), (n, 1))[:, 0]
+        col = lax.dynamic_slice(A, (z, k), (n, 1))[:, 0]
         newcol = jnp.where(
             (rowi > gk) & nonzero, col * akk_inv.astype(A.dtype), col
         )
-        A = lax.dynamic_update_slice(A, newcol[:, None], (0, k))
+        A = lax.dynamic_update_slice(A, newcol[:, None], (z, k))
 
         local_info = (k + 1) if pivot else -(k + 1)
         info = jnp.where(
@@ -128,7 +131,7 @@ def _offset_panel_lu(panel: jax.Array, ofs, pivot: bool):
 
         # rank-1 trailing update within the panel
         lcol = jnp.where(rowi > gk, newcol, 0)
-        urow_full = lax.dynamic_slice(A, (gk, 0), (1, w))[0]
+        urow_full = lax.dynamic_slice(A, (gk, z), (1, w))[0]
         urow = jnp.where(coli > k, urow_full, 0)
         A = A - lcol[:, None] * urow[None, :]
         return A, piv, perm, info
@@ -148,6 +151,9 @@ def _tp_lu_kernel(
     D: int,
     pivot: bool,
     stages: int = 4,
+    pallas_panels: bool = False,
+    panel_micro: int = 32,
+    panel_unroll: int = 1,
 ):
     """shard_map body. ``A_loc``: (n, n/D) local cyclic column blocks.
 
@@ -190,7 +196,15 @@ def _tp_lu_kernel(
             axis,
         )
         # --- replicated offset panel factorization ---------------------
-        pf, piv_l, perm_l, linfo = _offset_panel_lu(panel, sl, pivot)
+        if pallas_panels:
+            from ..ops.panel import offset_panel_factor_pallas
+
+            pf, piv_l, perm_l, linfo = offset_panel_factor_pallas(
+                panel, sl, pivot,
+                micro=panel_micro, unroll=panel_unroll,
+            )
+        else:
+            pf, piv_l, perm_l, linfo = _offset_panel_lu(panel, sl, pivot)
         ipiv = lax.dynamic_update_slice(ipiv, piv_l + h0, (s,))
         info = _offset_info(info, linfo, s)
         # --- local laswp: sparse row scatter on ALL local columns ------
@@ -309,8 +323,19 @@ def tp_lu_factor_p(
     order = jnp.asarray(order_np, dtype=jnp.int32)
     inv_order = jnp.asarray(np.argsort(order_np), dtype=jnp.int32)
 
+    if config.tp_panel_backend == "auto":
+        from ..utils.config import is_tpu_backend
+
+        pallas_panels = is_tpu_backend() and A.dtype == jnp.dtype(
+            jnp.float32
+        )
+    else:
+        pallas_panels = config.tp_panel_backend == "pallas"
     kernel = functools.partial(
-        _tp_lu_kernel, axis=axis, n=N, w=w, D=D, pivot=pivot
+        _tp_lu_kernel, axis=axis, n=N, w=w, D=D, pivot=pivot,
+        pallas_panels=pallas_panels,
+        panel_micro=config.panel_micro,
+        panel_unroll=config.panel_unroll,
     )
     shard_fn = jax.shard_map(
         kernel,

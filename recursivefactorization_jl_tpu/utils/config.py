@@ -88,6 +88,21 @@ class LUConfig:
     panel_variant: str = "fori3"
     # Outer block width of the fori3 kernel's two-level trailing updates.
     panel_outer: int = 256
+    # Panel-chain backend of the tensor-parallel LU
+    # (parallel/blockcyclic.py): 'pallas' runs each panel's replicated
+    # offset factorization in the offset Pallas kernel
+    # (ops/panel.py offset_panel_factor_pallas — VMEM-resident shadow
+    # chain); 'jax' keeps the pure-JAX select chain (~6 full (H, w)
+    # XLA passes per elimination step); 'auto' = pallas on the TPU
+    # f32 path, jax elsewhere (mirrors `backend`).
+    tp_panel_backend: str = "auto"
+    # Elimination steps per fori-loop iteration inside the fori panel
+    # kernels (program order unchanged — results are bitwise-identical).
+    # >1 amortizes per-step loop bookkeeping and lets Mosaic overlap
+    # independent ops across adjacent steps of the serial pivot chain
+    # (the ~0.6 us/step single-matrix floor, docs/DESIGN.md lesson 2),
+    # at the cost of a ~`unroll`x larger traced program.
+    panel_unroll: int = 1
     # Panel kernel variant used by the BLOCKED schedule's panels (the
     # whole-matrix path keeps `panel_variant`).  None -> same as
     # panel_variant.  Empirical Mosaic workaround (v5e, 2026-08): the

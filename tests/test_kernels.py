@@ -93,6 +93,29 @@ def test_fori_kernel_wide_and_ragged(pivot, shape, micro, variant):
     np.testing.assert_array_equal(p2, np.asarray(perm))
 
 
+@pytest.mark.parametrize("variant", ["fori2", "fori3"])
+@pytest.mark.parametrize("unroll", [2, 4])
+@pytest.mark.parametrize("shape", [(64, 64), (48, 33)])
+def test_fori_kernel_unroll_bitwise(variant, unroll, shape):
+    """`unroll` repackages the SAME elimination steps (u per fori
+    iteration, program order unchanged), so every output must be
+    bitwise-identical to unroll=1 — including the ragged final
+    micro-block, which falls back to the plain loop when the block
+    width is not a multiple of the unroll factor."""
+    A = jnp.asarray(RNG.rand(*shape), dtype=jnp.float32)
+    base = panel_factor_pallas(
+        A, True, interpret=True, micro=16, variant=variant, outer=32
+    )
+    got = panel_factor_pallas(
+        A, True, interpret=True, micro=16, variant=variant, outer=32,
+        unroll=unroll,
+    )
+    for b, g, name in zip(base, got, ["factors", "piv", "perm", "info"]):
+        np.testing.assert_array_equal(
+            np.asarray(b), np.asarray(g), err_msg=name
+        )
+
+
 @pytest.mark.parametrize("pivot", [True, False])
 @pytest.mark.parametrize("shape,w", [((48, 48), 16), ((70, 50), 16),
                                      ((33, 33), 8)])

@@ -185,3 +185,95 @@ def test_tp_lu_singular_info():
         jnp.asarray(A), config=rf.LUConfig(panel_width=w, small_threshold=0)
     )
     assert int(info) == int(info1) != 0
+
+
+@pytest.mark.parametrize("ofs", [0, 16, 96])
+@pytest.mark.parametrize("pivot", [True, False])
+def test_offset_panel_kernel_matches_jax(ofs, pivot):
+    """The offset Pallas panel kernel (interpret mode) against the
+    pure-JAX `_offset_panel_lu` select chain: identical pivot rows,
+    permutation and info; factors agree to rounding (the kernel's
+    trailing-column updates are delayed to micro boundaries, so the
+    association differs)."""
+    from recursivefactorization_jl_tpu.ops.panel import (
+        offset_panel_factor_pallas,
+    )
+    from recursivefactorization_jl_tpu.parallel.blockcyclic import (
+        _offset_panel_lu,
+    )
+
+    H, w = 128, 32
+    Anp = RNG.rand(H, w) - 0.5
+    if not pivot:
+        # diagonally-dominant on the offset diagonal: unpivoted growth
+        # would otherwise make the cross-association comparison vacuous
+        for k in range(w):
+            Anp[ofs + k, k] += H
+    A = jnp.asarray(Anp, dtype=jnp.float32)
+    f_k, piv_k, perm_k, info_k = offset_panel_factor_pallas(
+        A, ofs, pivot, interpret=True, micro=16
+    )
+    f_o, piv_o, perm_o, info_o = _offset_panel_lu(
+        A, jnp.int32(ofs), pivot
+    )
+    np.testing.assert_array_equal(np.asarray(piv_k), np.asarray(piv_o))
+    np.testing.assert_array_equal(np.asarray(perm_k), np.asarray(perm_o))
+    assert int(info_k) == int(info_o) == 0
+    np.testing.assert_allclose(
+        np.asarray(f_k), np.asarray(f_o), atol=5e-5
+    )
+    # rows above the offset are untouched
+    np.testing.assert_array_equal(
+        np.asarray(f_k)[:ofs], Anp[:ofs].astype(np.float32)
+    )
+
+
+def test_offset_panel_kernel_zero_pivot():
+    from recursivefactorization_jl_tpu.ops.panel import (
+        offset_panel_factor_pallas,
+    )
+    from recursivefactorization_jl_tpu.parallel.blockcyclic import (
+        _offset_panel_lu,
+    )
+
+    H, w, ofs = 64, 16, 8
+    Anp = RNG.rand(H, w)
+    Anp[ofs + 5 :, 5] = 0.0
+    Anp[: ofs + 5, 5] = 0.0  # column 5 zero at/below the diagonal
+    A = jnp.asarray(Anp, dtype=jnp.float32)
+    _, _, _, info_k = offset_panel_factor_pallas(
+        A, ofs, True, interpret=True, micro=8
+    )
+    _, _, _, info_o = _offset_panel_lu(A, jnp.int32(ofs), True)
+    assert int(info_k) == int(info_o) != 0
+
+
+def test_tp_lu_pallas_panels():
+    """tp_lu with the offset Pallas panel kernel (interpret mode on the
+    CPU mesh): pivots/perm identical to the pure-JAX panel backend,
+    residual within the reference gate, singular info propagation."""
+    mesh = mesh_1d("tp", 4)
+    n, w = 256, 32
+    A = RNG.rand(n, n).astype(np.float32)
+    cfg_p = rf.LUConfig(tp_panel_backend="pallas", panel_micro=16)
+    cfg_j = rf.LUConfig(tp_panel_backend="jax")
+    Fp, ipp, info_p = tp_lu_factor(
+        jnp.asarray(A), mesh, "tp", panel_width=w, config=cfg_p
+    )
+    Fj, ipj, info_j = tp_lu_factor(
+        jnp.asarray(A), mesh, "tp", panel_width=w, config=cfg_j
+    )
+    assert int(info_p) == int(info_j) == 0
+    np.testing.assert_array_equal(np.asarray(ipp), np.asarray(ipj))
+    resid = lu_residual(A, Fp, ipp)
+    assert resid < 20 * n * np.finfo(np.float32).eps, resid
+    # singular column: info must match the pure-JAX backend exactly
+    A2 = RNG.rand(n, n).astype(np.float32)
+    A2[:, 77] = 0.0
+    _, _, info_p2 = tp_lu_factor(
+        jnp.asarray(A2), mesh, "tp", panel_width=w, config=cfg_p
+    )
+    _, _, info_j2 = tp_lu_factor(
+        jnp.asarray(A2), mesh, "tp", panel_width=w, config=cfg_j
+    )
+    assert int(info_p2) == int(info_j2) != 0
