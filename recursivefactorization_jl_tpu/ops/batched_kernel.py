@@ -77,7 +77,7 @@ def pick_group(m: int, n: int, itemsize: int, group: int = GROUP) -> int:
 
 def _lane_kernel(a_ref, out_ref, piv_ref, perm_ref, info_ref, used_ref, *,
                  pivot: bool, swap: bool, col_chunks: int = 1,
-                 track_perm: bool = False):
+                 track_perm: bool = False, unroll: int = 1):
     """Shared body of both variants. Refs:
     a/out  : (n, m, G)   column-major lane-batched block (aliased)
     piv    : (minmn, G)  pivot row per step (ipiv for swap, physical
@@ -259,7 +259,25 @@ def _lane_kernel(a_ref, out_ref, piv_ref, perm_ref, info_ref, used_ref, *,
             )
         return 0
 
-    lax.fori_loop(0, minmn, body, 0)
+    # `unroll` packs u consecutive steps per fori iteration (identical
+    # program order — bitwise-equal results): at n <= 64 the kernel is
+    # per-step issue-latency bound (docs/ROUND3.md §5), so amortizing
+    # the loop bookkeeping is the same lever as the panel kernels'
+    # `panel_unroll`; the leftover minmn % u steps run statically.
+    ub = unroll if unroll > 1 else 1
+    if ub > 1:
+        main = (minmn // ub) * ub
+
+        def body_u(j, _):
+            for t in range(ub):
+                body(j * ub + t, 0)
+            return 0
+
+        lax.fori_loop(0, minmn // ub, body_u, 0)
+        for k in range(main, minmn):
+            body(jnp.int32(k), 0)
+    else:
+        lax.fori_loop(0, minmn, body, 0)
     if swap and track_perm:
         # (1, m, G) -> (m, G): drop the singleton major dim (layout-
         # preserving) and cast the exactly-representable row indices
@@ -268,7 +286,7 @@ def _lane_kernel(a_ref, out_ref, piv_ref, perm_ref, info_ref, used_ref, *,
 
 def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
                       interpret, group: int, col_chunks: int = 1,
-                      track_perm: bool = False):
+                      track_perm: bool = False, unroll: int = 1):
     """Pad/transpose to the lane-batched layout and run the kernel.
     ``A``: (B, m, n).  Returns (out (n, m, Bp), piv (minmn, Bp),
     perm (minmn, Bp) (garbage unless ``track_perm``), info (1, Bp),
@@ -302,7 +320,8 @@ def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
         raise ValueError("track_perm requires the swap kernel and square "
                          "matrices")
     kernel = functools.partial(_lane_kernel, pivot=pivot, swap=swap,
-                               col_chunks=col_chunks, track_perm=track_perm)
+                               col_chunks=col_chunks, track_perm=track_perm,
+                               unroll=unroll)
     # The Mosaic DEFAULT scoped-vmem limit is 16 MB; the physical VMEM
     # on v5e is far larger, and bigger groups amortize per-op issue
     # overhead, so raise the limit to fit the (n, m, G) block plus the
@@ -349,7 +368,8 @@ def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pivot", "interpret", "group", "with_perm")
+    jax.jit,
+    static_argnames=("pivot", "interpret", "group", "with_perm", "unroll"),
 )
 def batched_lu_pallas(
     A: jax.Array,
@@ -357,6 +377,7 @@ def batched_lu_pallas(
     interpret=None,
     group: int = GROUP,
     with_perm: bool = True,
+    unroll: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Factor a batch ``A`` of shape (B, m, n) with exact LAPACK swap
     semantics.  Returns ``(factors (B,m,n), ipiv (B,minmn),
@@ -374,7 +395,7 @@ def batched_lu_pallas(
     B, m, n = A.shape
     track = with_perm and m == n
     out, piv, perm, info, B = _call_lane_kernel(
-        A, pivot, True, interpret, group, track_perm=track
+        A, pivot, True, interpret, group, track_perm=track, unroll=unroll
     )
     factors = jnp.transpose(out, (2, 1, 0))[:B]
     ipiv = jnp.transpose(piv, (1, 0))[:B]
@@ -391,11 +412,12 @@ def batched_lu_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pivot", "interpret", "group", "col_chunks")
+    jax.jit,
+    static_argnames=("pivot", "interpret", "group", "col_chunks", "unroll"),
 )
 def batched_lu_pallas_noswap(
     A: jax.Array, pivot: bool = True, interpret=None, group: int = GROUP,
-    col_chunks: int = 1,
+    col_chunks: int = 1, unroll: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """No-swap batched LU for square matrices: returns
     ``(factors (B,n,n), perm (B,n), info (B,))`` with
@@ -409,7 +431,7 @@ def batched_lu_pallas_noswap(
     if m != n:
         raise ValueError("batched_lu_pallas_noswap requires square matrices")
     out, prow, _perm, info, B = _call_lane_kernel(
-        A, pivot, False, interpret, group, col_chunks
+        A, pivot, False, interpret, group, col_chunks, unroll=unroll
     )
     phys = jnp.transpose(out, (2, 1, 0))[:B]       # (B, m, n) physical order
     perm = jnp.transpose(prow, (1, 0))[:B]         # (B, n)

@@ -101,8 +101,12 @@ class LUConfig:
     # >1 amortizes per-step loop bookkeeping and lets Mosaic overlap
     # independent ops across adjacent steps of the serial pivot chain
     # (the ~0.6 us/step single-matrix floor, docs/DESIGN.md lesson 2),
-    # at the cost of a ~`unroll`x larger traced program.
-    panel_unroll: int = 1
+    # at the cost of a ~`unroll`x larger traced program.  Default 2 —
+    # measured v5e f32, u2 vs u1: whole-matrix 0.36->0.22 ms @512,
+    # 0.85->0.75 @1024, 2.08->2.00 @2048; blocked w512 @4096
+    # 8.11->7.65 ms.  u4 ties u2 at 1024 and LOSES at 2048 (2.47 ms:
+    # the 4x program under-schedules), so 2 is the sweet spot.
+    panel_unroll: int = 2
     # Panel kernel variant used by the BLOCKED schedule's panels (the
     # whole-matrix path keeps `panel_variant`).  None -> same as
     # panel_variant.  Empirical Mosaic workaround (v5e, 2026-08): the

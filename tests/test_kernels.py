@@ -291,3 +291,29 @@ def test_batched_kernel_zero_pivot():
     for i in range(B):
         _, _, _, info_o = unblocked_lu(jnp.asarray(A[i]), True)
         assert int(info_k[i]) == int(info_o)
+
+
+@pytest.mark.parametrize("unroll", [2, 3])
+def test_batched_kernel_unroll_bitwise(unroll):
+    """Batched lane-kernel `unroll` repackages the same steps (program
+    order unchanged, remainder steps run statically) — all outputs
+    bitwise-identical to unroll=1, both variants."""
+    from recursivefactorization_jl_tpu.ops.batched_kernel import (
+        batched_lu_pallas_noswap,
+    )
+
+    A = jnp.asarray(RNG.rand(4, 20, 20), dtype=jnp.float32)
+    b0 = batched_lu_pallas(A, interpret=True)
+    bu = batched_lu_pallas(A, interpret=True, unroll=unroll)
+    for x, y, name in zip(b0, bu, ["factors", "ipiv", "perm", "info"]):
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y), err_msg=name
+        )
+    n0 = batched_lu_pallas_noswap(A, interpret=True, col_chunks=2)
+    nu = batched_lu_pallas_noswap(
+        A, interpret=True, col_chunks=2, unroll=unroll
+    )
+    for x, y, name in zip(n0, nu, ["factors", "perm", "info"]):
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y), err_msg=name
+        )
