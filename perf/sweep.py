@@ -143,6 +143,9 @@ def main() -> None:
                     help="also sweep fat/tall rectangular shapes")
     ap.add_argument("--rbt", action="store_true",
                     help="also compare RBT pivot-free vs pivoted LU solve")
+    ap.add_argument("--solve", action="store_true",
+                    help="also sweep the solve path (factor once + "
+                         "triangular solves) vs XLA's lu_solve")
     args = ap.parse_args()
 
     # empty --sizes "" skips the single-matrix sweep (e.g. a
@@ -225,6 +228,70 @@ def main() -> None:
                 records.append(
                     {"variant": name, "n": n, "batch": B,
                      "dtype": "float32", "time_s": t, "gflops": gf}
+                )
+
+    if args.solve:
+        # end-to-end solve: permutation apply + unit-lower and upper
+        # triangular solves on a pre-computed factorization (the
+        # reference's ldiv! surface, test/runtests.jl:20-25) — ours
+        # (blocked trtri+matmul TRSM, ops/trsm.py) vs XLA's lu_solve.
+        # The factorization rides as a jit ARGUMENT (a closed-over
+        # factor pytree would embed n^2 floats as an HLO constant and
+        # blow up remote compiles); solves are latency-bound, so the
+        # marginal loops are long.
+        import time as _time
+        from jax import lax
+
+        def timed_solve(solver, fac, b, ks=(8, 64), reps=3):
+            def looped(K):
+                @jax.jit
+                def run(fc, bb):
+                    def body(i, b_):
+                        x = solver(fc, b_)
+                        return b_ * (1.0 + 1e-24 * x.ravel()[0])
+
+                    return lax.fori_loop(0, K, body, bb).ravel()[0]
+
+                return run
+
+            ts = []
+            for K in ks:
+                run = looped(K)
+                np.asarray(run(fac, b))  # compile + warm
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = _time.perf_counter()
+                    np.asarray(run(fac, b))
+                    best = min(best, _time.perf_counter() - t0)
+                ts.append(best)
+            return (ts[1] - ts[0]) / (ks[1] - ks[0])
+
+        for n in sizes or [1024, 2048, 4096]:
+            A = jnp.asarray(rng.standard_normal((n, n)), dtype=dtype)
+            b = jnp.asarray(rng.standard_normal((n,)), dtype=dtype)
+            F = rf.lu(A)
+            Fx = jax.scipy.linalg.lu_factor(A)
+
+            for name, (solver, fac) in {
+                "rf_solve": (lambda fc, bb: rf.lu_solve(fc, bb), F),
+                "xla_solve": (
+                    lambda fc, bb: jax.scipy.linalg.lu_solve(fc, bb), Fx
+                ),
+            }.items():
+                t = timed_solve(solver, fac, b)
+                x = np.asarray(solver(fac, b))
+                err = float(
+                    np.max(
+                        np.abs(
+                            np.asarray(A, np.float64) @ x.astype(np.float64)
+                            - np.asarray(b)
+                        )
+                    )
+                )
+                print(f"{name}\tn={n}\t{t * 1e6:.1f} us\t|Ax-b|={err:.2e}")
+                records.append(
+                    {"variant": name, "n": n, "dtype": dtype.name,
+                     "time_s": t, "abs_err": err, "op": "solve"}
                 )
 
     if args.rbt:
