@@ -84,7 +84,8 @@ def blocked_lu_physical(
         ws = min(w, n - s)
         used_prev = used
         pf, prow_l, used, linfo = panel_factor_noswap_pallas(
-            A[:, s : s + ws], used, pivot, micro=min(config.panel_micro, ws)
+            A[:, s : s + ws], used, pivot,
+            micro=min(config.resolved_panel_micro(m, ws), ws),
         )
         A = A.at[:, s : s + ws].set(pf)
         info = _offset_info(info, linfo, s)

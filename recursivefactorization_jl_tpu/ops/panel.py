@@ -83,7 +83,7 @@ def panel_factor(
         return panel_factor_pallas(
             panel,
             pivot,
-            micro=config.panel_micro,
+            micro=config.resolved_panel_micro(m, w),
             variant=config.panel_variant,
             outer=config.panel_outer,
             unroll=config.panel_unroll,

@@ -334,7 +334,7 @@ def tp_lu_factor_p(
     kernel = functools.partial(
         _tp_lu_kernel, axis=axis, n=N, w=w, D=D, pivot=pivot,
         pallas_panels=pallas_panels,
-        panel_micro=config.panel_micro,
+        panel_micro=config.resolved_panel_micro(N, w),
         panel_unroll=config.panel_unroll,
     )
     shard_fn = jax.shard_map(

@@ -75,8 +75,13 @@ class LUConfig:
     # Micro-panel width inside the Pallas panel kernel (rank-1 updates are
     # confined to this width; a delayed rank-`panel_micro` MXU update runs
     # at each boundary).  >= panel width disables in-kernel blocking.
-    # 32 measured best on v5e at n=2048 (16/32/64 within ~5%).
-    panel_micro: int = 32
+    # 'auto' resolves by factored size (`resolved_panel_micro`): 32
+    # everywhere except whole-matrix calls with min(m, n) in
+    # [1024, 2048), where 64 measured best on v5e (fori3+u2 @1024:
+    # 0.60 ms vs 0.75 at micro=32, XLA 0.64-0.77 — fatter blocks halve
+    # the chain's boundary count and the size is big enough to absorb
+    # the wider rank-1 region); 64 LOSES at 512, 2048 and 4096-blocked.
+    panel_micro: object = "auto"
     # Panel kernel variant (see ops/panel.py):
     #   'fori3'  — fori-loop shadow kernel, slim per-step pass + two-
     #              level trailing updates (rank-`panel_outer` MXU Schur);
@@ -162,10 +167,32 @@ class LUConfig:
             return None
         return self.tail_threshold
 
-    # measured on v5e (round 3, fori3 whole-matrix kernel vs XLA lu):
-    # 0.71x at n=512, 0.96x at 1024, 1.17x at 2048 — delegate up to and
-    # including the measured-tie size, win above it.
-    AUTO_XLA_THRESHOLD = 1024
+    # measured on v5e (round 3, fori3 whole-matrix kernel vs XLA lu;
+    # unroll=2 + micro='auto'): 0.85x at n=512, ~1.1x at 1024
+    # (micro=64: 0.60 ms vs XLA 0.64-0.77), 1.25x at 2048 — delegate
+    # below the first measured win.  The dispatcher compares
+    # `minmn <= threshold`, so 1023 means: platform kernel through
+    # n=1023, this package's whole-matrix kernel from n=1024 up.
+    # (Unmeasured 513..1023 band delegates; @512 ours is 0.85x.)
+    AUTO_XLA_THRESHOLD = 1023
+
+    # micro=64 band of the 'auto' micro resolution (whole-matrix only).
+    AUTO_MICRO_WIDE_LO = 1024
+    AUTO_MICRO_WIDE_HI = 2048  # exclusive
+
+    def resolved_panel_micro(self, m: int, w: int) -> int:
+        """Micro-panel width for a panel-kernel call on an (m, w) block.
+
+        Explicit ints pass through; 'auto' picks 64 only for
+        whole-matrix-sized calls (min(m, w) in [1024, 2048)) where it
+        measured ~25% faster, and 32 everywhere else (blocked-schedule
+        panels are <= 512 wide and always resolve 32)."""
+        if self.panel_micro != "auto":
+            return self.panel_micro
+        minmn = min(m, w)
+        if self.AUTO_MICRO_WIDE_LO <= minmn < self.AUTO_MICRO_WIDE_HI:
+            return 64
+        return 32
 
     def resolved_xla_threshold(self, dtype) -> Optional[int]:
         if self.xla_threshold == "auto":

@@ -126,3 +126,40 @@ def test_rbt_on_random():
     ws = rf.butterfly_workspace(jnp.asarray(A), jnp.asarray(b))
     x = np.asarray(rf.butterfly_solve(ws))
     np.testing.assert_allclose(A @ x, b, atol=1e-9)
+
+
+def test_rbt_refined():
+    """Iterative refinement on the RBT pivot-free solve (``refine=``).
+
+    Pivot-free LU trades accuracy for the missing pivot search: on a
+    Gaussian 130x130 this seed's RBT-transformed matrix hits element
+    growth ~7e3 (a near-zero pivot), costing ~4 digits vs pivoted LU.
+    The reference pipeline has no refinement; ours reuses the
+    factorization for residual-correction steps.  In f64 one step
+    recovers far more than the growth lost; in f32 the same hard case
+    contracts ~2x per step (kappa_eff * eps ~ 0.5 — measured
+    13.1 -> 3.3 -> 0.78 at refine 0/2/4)."""
+    n = 130
+    rng = np.random.RandomState(0)
+    A64 = rng.standard_normal((n, n))
+    b64 = rng.standard_normal(n)
+
+    # f64: one refinement step reaches near-pivoted residuals.
+    A = jnp.asarray(A64, dtype=jnp.float64)
+    b = jnp.asarray(b64, dtype=jnp.float64)
+    ws = rf.butterfly_workspace(A, b)
+    r0 = float(jnp.max(jnp.abs(A @ rf.butterfly_solve(ws) - b)))
+    r1 = float(jnp.max(jnp.abs(A @ rf.butterfly_solve(ws, refine=1) - b)))
+    r_piv = float(jnp.max(jnp.abs(A @ rf.lu_solve(rf.lu(A), b) - b)))
+    assert r1 < 100 * r_piv, (r0, r1, r_piv)
+    assert r1 < r0 / 100, (r0, r1)
+
+    # f32 worst case: monotone ~2x/step contraction, >10x after 4 steps.
+    Af = jnp.asarray(A64, dtype=jnp.float32)
+    bf_ = jnp.asarray(b64, dtype=jnp.float32)
+    wsf = rf.butterfly_workspace(Af, bf_)
+    rf0 = float(jnp.max(jnp.abs(Af @ rf.butterfly_solve(wsf) - bf_)))
+    rf4 = float(
+        jnp.max(jnp.abs(Af @ rf.butterfly_solve(wsf, refine=4) - bf_))
+    )
+    assert rf4 < rf0 / 10, (rf0, rf4)

@@ -75,6 +75,23 @@ def test_xla_threshold_auto_resolution():
     ) is None
 
 
+def test_panel_micro_auto_resolution():
+    """'auto' picks 64 only for whole-matrix-sized calls in
+    [1024, 2048); blocked-schedule panels (w <= 512) and every other
+    size resolve 32.  Explicit ints pass through."""
+    from recursivefactorization_jl_tpu.utils.config import LUConfig
+
+    cfg = LUConfig()
+    assert cfg.resolved_panel_micro(512, 512) == 32
+    assert cfg.resolved_panel_micro(1024, 1024) == 64
+    assert cfg.resolved_panel_micro(1536, 1536) == 64
+    assert cfg.resolved_panel_micro(2048, 2048) == 32
+    # blocked-schedule panels: tall (m, w<=512) blocks stay at 32
+    assert cfg.resolved_panel_micro(4096, 512) == 32
+    assert cfg.resolved_panel_micro(1024, 128) == 32
+    assert LUConfig(panel_micro=8).resolved_panel_micro(1024, 1024) == 8
+
+
 def test_bf16_schur_mode():
     """schur_precision='bf16' stays within a bf16-appropriate residual."""
     n = 160
