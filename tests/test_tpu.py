@@ -140,6 +140,24 @@ def test_fori_whole_lu_on_chip():
 
 
 @requires_tpu
+def test_default_lu_1024_on_chip():
+    """The DEFAULT path at n=1024 — newly promoted from platform
+    delegation to the in-package whole-matrix kernel (fori3, auto
+    micro=64, unroll 2; xla_threshold auto -> 1023).  Pins residual,
+    scipy ipiv parity, and permutation validity on the real chip."""
+    n = 1024
+    A = RNG.standard_normal((n, n)).astype(np.float32)
+    F = rf.lu(jnp.asarray(A))
+    assert int(F.info) == 0
+    resid = np_residual(A, F.factors, F.p)
+    assert resid < 20 * n * np.finfo(np.float32).eps * np.max(np.abs(A))
+    import scipy.linalg
+
+    _, piv_sp = scipy.linalg.lu_factor(A)
+    np.testing.assert_array_equal(np.asarray(F.ipiv), piv_sp)
+
+
+@requires_tpu
 def test_blocked_lu_4096_default_on_chip():
     """Headline-scale correctness pin: the DEFAULT schedule at n=4096
     (the exact path bench.py times: blocked with w=512 fori3 panels)
