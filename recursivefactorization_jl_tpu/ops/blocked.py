@@ -31,7 +31,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..utils.config import LUConfig
+from ..utils.config import FORI_VMEM_BUDGET_BYTES, LUConfig
 from .panel import _use_pallas, panel_factor, panel_factor_noswap_pallas
 from .schur import schur_update
 from .trsm import solve_unit_lower, unit_lower_inverse
@@ -154,6 +154,23 @@ def blocked_lu(
             config, panel_variant=config.resolved_blocked_variant()
         )
     w = config.resolved_panel_width(m, n, jnp.dtype(A.dtype).itemsize)
+    if (
+        config.panel_width is None
+        and config.panel_variant.startswith("fori")
+        and w < 512
+        and minmn >= 4096
+        and _use_pallas(A.dtype, config)
+    ):
+        # Empirical Mosaic/XLA workaround (v5e, 2026-08): composed
+        # blocked graphs with 256-wide fori panels at n>=4096 crash the
+        # TPU compile helper (LUConfig.blocked_panel_variant).  If the
+        # VMEM budget can't afford w=512 fori panels (m beyond ~16k
+        # f32), fall back to the static shadow kernel class, whose
+        # narrow-panel widths are proven on chip.
+        import dataclasses
+
+        config = dataclasses.replace(config, panel_variant="shadow")
+        w = config.resolved_panel_width(m, n, jnp.dtype(A.dtype).itemsize)
     if not pivot and minmn >= 4096 and config.panel_width is None:
         # Empirical Mosaic/XLA workaround (v5e, 2026-08): the composed
         # no-pivot blocked graph with 256-wide panels at n>=4096 crashes
@@ -179,7 +196,7 @@ def blocked_lu(
             and _use_pallas(A.dtype, config)
             # whole-block VMEM residency gate (same bound as the fori
             # kernel's direct path in ops/panel.py panel_factor)
-            and 3 * (m - s) * (n - s) * itemsize <= 100 * 1024 * 1024
+            and 3 * (m - s) * (n - s) * itemsize <= FORI_VMEM_BUDGET_BYTES
         ):
             # Recursive tail: the trailing block fits the whole-matrix
             # fused kernel — factor it in ONE call instead of more panel

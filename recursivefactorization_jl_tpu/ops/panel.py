@@ -33,7 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.config import LUConfig, is_tpu_backend
+from ..utils.config import (
+    FORI_VMEM_BUDGET_BYTES,
+    LUConfig,
+    is_tpu_backend,
+)
 from .unblocked import unblocked_lu
 
 
@@ -67,7 +71,7 @@ def panel_factor(
         # whole-panel VMEM residency: the fori kernel footprint is ~3x
         # panel bytes (aliased in/out + (micro+1, m) shadow); very tall
         # panels fall back to the blocked split below
-        and 3 * m * w * panel.dtype.itemsize <= 100 * 1024 * 1024
+        and 3 * m * w * panel.dtype.itemsize <= FORI_VMEM_BUDGET_BYTES
     )
     if min(m, w) > inner and not fori_direct:
         # The static-unroll kernels cap at `inner` width (Mosaic program

@@ -31,13 +31,23 @@ from typing import Optional
 LANE = 128           # TPU lane count / MXU dimension
 SUBLANE_F32 = 8      # f32 sublane tile
 VMEM_BUDGET_BYTES = 14 * 1024 * 1024  # conservative per-kernel budget
-# The panel kernel's scoped-vmem footprint is ~6x the raw panel bytes
-# (aliased staging + shadow scratch + compiler scratch).  Empirically a
-# 4096x256 f32 panel (25 MiB scoped by that estimate) compiles AND is
-# the fastest schedule on v5e (w256 8.3 ms vs w128 8.8 ms at n=4096),
-# so the panel-width picker gets its own, larger budget; the
-# conservative constant above still bounds the batched kernels.
+# The static-unroll panel kernels' scoped-vmem footprint is ~6x the raw
+# panel bytes (aliased staging + shadow scratch + compiler scratch).
+# Empirically a 4096x256 f32 panel (25 MiB scoped by that estimate)
+# compiles AND is the fastest schedule on v5e (w256 8.3 ms vs w128
+# 8.8 ms at n=4096), so the panel-width picker gets its own, larger
+# budget; the conservative constant above still bounds the batched
+# kernels.
 PANEL_VMEM_BUDGET_BYTES = 26 * 1024 * 1024
+# The fori kernels alias in/out and keep only a (micro+1, m) shadow
+# (~3x panel bytes) and are proven far past the old bound: the DEFAULT
+# whole-matrix call at n=2048 f32 (16 MiB panel, ~50 MiB by the 3x
+# estimate) compiles and runs on v5e.  Their width picker and the
+# direct-whole-panel gate in ops/panel.py share this budget, so e.g.
+# n=8192 keeps w=512 panels (the same 50 MiB class) instead of
+# dropping to w=256 — the composed-graph width that crashes the TPU
+# compile helper (LUConfig.blocked_panel_variant).
+FORI_VMEM_BUDGET_BYTES = 100 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -217,13 +227,12 @@ class LUConfig:
         if self.panel_variant.startswith("fori"):
             w = 512 if min(m, n) >= 2048 else 256
             mult = 3
+            budget = FORI_VMEM_BUDGET_BYTES
         else:
             w = 256 if min(m, n) >= 1024 else 128
             mult = 6
-        while (
-            mult * m * w * itemsize > PANEL_VMEM_BUDGET_BYTES
-            and w > LANE // 2
-        ):
+            budget = PANEL_VMEM_BUDGET_BYTES
+        while mult * m * w * itemsize > budget and w > LANE // 2:
             w //= 2
         return max(w, 32)
 

@@ -35,6 +35,12 @@ def test_resolved_panel_width_vmem_bound():
     w_huge = cfg.resolved_panel_width(65536, 65536, 4)
     assert w_huge < w_small
     assert w_huge >= 32
+    # fori panels afford the proven ~50 MiB class: w=512 up to m=8192
+    # f32 (the n=2048 whole-matrix call has the same footprint), so the
+    # blocked schedule never auto-picks the w=256 compile-crash class
+    # at headline sizes.
+    assert cfg.resolved_panel_width(4096, 4096, 4) == 512
+    assert cfg.resolved_panel_width(8192, 8192, 4) == 512
 
 
 def test_blocked_panel_variant_override():
