@@ -149,7 +149,43 @@ def correctness_gate(A):
     return resid
 
 
+def _wait_for_backend(max_wait_s: float = 3600.0) -> None:
+    """Gate on backend availability with a bounded wait.
+
+    The axon relay goes unavailable for stretches, and backend
+    initialization has been observed to HANG (not raise) while it is
+    down — an in-process jax call would wedge this script forever.
+    Probe with a tiny matmul in a kill-able subprocess; retry up to
+    ``max_wait_s``, then fail loudly."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((128, 128))\n"
+        "assert float((x @ x)[0, 0]) == 128.0\n"
+    )
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=150,
+                check=True,
+                capture_output=True,
+            )
+            return
+        except Exception:
+            if time.time() > deadline:
+                raise RuntimeError(
+                    "TPU backend unavailable: probe matmul kept failing "
+                    f"for {max_wait_s:.0f}s; not starting the benchmark"
+                )
+            time.sleep(90)
+
+
 def main() -> None:
+    _wait_for_backend()
     rng = np.random.RandomState(123)  # ref perf/lu.jl:4 MersenneTwister(123)
     A = jnp.asarray(rng.standard_normal((N, N)), dtype=jnp.float32)
     Ab = jnp.asarray(
