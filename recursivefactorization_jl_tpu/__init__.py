@@ -59,6 +59,7 @@ from .parallel import (
     sharded_batched_lu_solve,
     tp_lu,
     tp_lu_factor,
+    tp_lu_solve,
 )
 
 __version__ = "0.1.0"
@@ -93,4 +94,5 @@ __all__ = [
     "sharded_batched_lu_solve",
     "tp_lu",
     "tp_lu_factor",
+    "tp_lu_solve",
 ]

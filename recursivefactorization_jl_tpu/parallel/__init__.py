@@ -23,7 +23,7 @@ from .batched import (
     sharded_batched_lu_factor,
     sharded_batched_lu_solve,
 )
-from .blockcyclic import tp_lu_factor, tp_lu
+from .blockcyclic import tp_lu_factor, tp_lu, tp_lu_solve
 
 __all__ = [
     "batched_lu_factor",
@@ -34,4 +34,5 @@ __all__ = [
     "sharded_batched_lu_solve",
     "tp_lu_factor",
     "tp_lu",
+    "tp_lu_solve",
 ]

@@ -50,7 +50,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.blocked import _offset_info
-from ..ops.trsm import unit_lower_inverse
+from ..ops.trsm import unit_lower_inverse, upper_inverse
 from ..utils.config import LUConfig, default_config, full_matmul_precision
 from ..utils.perm import vma_zero
 
@@ -376,3 +376,140 @@ def tp_lu(
     )
     perm = jnp.where(perm[:n] < n, perm[:n], 0)  # padded rows can't appear
     return LU(F, ipiv, info, pivoted=pivot, perm=perm)
+
+
+@full_matmul_precision
+def _tp_solve_kernel(
+    F_loc: jax.Array,
+    r: jax.Array,
+    *,
+    axis: str,
+    n: int,
+    w: int,
+    D: int,
+    k: int,
+):
+    """shard_map body for the distributed substitution.
+
+    ``F_loc``: (n, n/D) local block-cyclic column blocks of the factors.
+    ``r``: (n, k) REPLICATED right-hand sides (already row-permuted).
+
+    Fan-out substitution: per panel j, the OWNER solves the w x w
+    diagonal block against r[s:s+w] and forms the full-height update
+    delta (its local panel columns are the only ones that touch r this
+    step); ONE ``psum`` per panel broadcasts the (n, k) delta.  Total
+    ICI traffic is nb * n * k elements — a factor ``w`` below
+    re-broadcasting factor panels the way the factorization must.
+    Non-owner devices compute a garbage delta from their own local
+    block (it can even contain inf/nan from a non-triangular diag
+    slice); the masked ``where`` before the psum zeroes it exactly,
+    and ``where`` does not propagate NaNs from the unselected branch.
+    """
+    me = lax.axis_index(axis)
+    nb = n // w
+    rowi = jnp.arange(n)[:, None]
+    z = jnp.int32(0)
+
+    def step(j, r, lower: bool):
+        j = jnp.asarray(j, jnp.int32)
+        o = j % D
+        q = j // D
+        s = j * w
+        blk = lax.dynamic_slice(F_loc, (z, q * w), (n, w))
+        diag = lax.dynamic_slice(blk, (s, z), (w, w))
+        rj = lax.dynamic_slice(r, (s, z), (w, k))
+        if lower:
+            yj = unit_lower_inverse(diag) @ rj
+            off_mask = rowi >= s + w     # forward: update rows below
+        else:
+            yj = upper_inverse(diag) @ rj
+            off_mask = rowi < s          # backward: update rows above
+        upd = jnp.where(off_mask, blk, 0) @ yj  # (n, k); 0 off the mask
+        panel_mask = (rowi >= s) & (rowi < s + w)
+        yj_full = lax.dynamic_update_slice(
+            jnp.zeros_like(r), yj - rj, (s, z)
+        )
+        delta = jnp.where(panel_mask, yj_full, -upd)
+        delta = lax.psum(
+            jnp.where(me == o, delta, jnp.zeros_like(delta)), axis
+        )
+        return r + delta
+
+    # forward: y = L^-1 (P b); backward: x = U^-1 y
+    r = lax.fori_loop(0, nb, lambda j, a: step(j, a, True), r)
+    r = lax.fori_loop(0, nb, lambda t, a: step(nb - 1 - t, a, False), r)
+    return r
+
+
+def tp_lu_solve(
+    lu_res,
+    b: jax.Array,
+    mesh: Mesh,
+    axis: str = "tp",
+    panel_width: int = 128,
+) -> jax.Array:
+    """Distributed solve ``A x = b`` from a :func:`tp_lu` (or single-
+    device ``lu``) result, over mesh axis ``axis``.
+
+    The factors are laid out block-cyclically over the axis (the same
+    storage layout :func:`tp_lu_factor` uses internally) and never
+    replicated; the right-hand side stays replicated and each panel
+    step contributes one psum'd update vector (see
+    :func:`_tp_solve_kernel`).  ``b`` may be a vector ``(n,)`` or a
+    matrix of stacked right-hand sides ``(n, k)``.  Semantics match the
+    single-device :func:`~..models.solve.lu_solve` (pivoted solve =
+    permute rhs + unit-lower + upper substitution; the no-pivot path
+    skips the permutation — ref src/lu.jl:42-61); ``trans`` solves are
+    not offered here — gather the factors and use ``lu_solve`` for
+    those.
+    """
+    F = lu_res.factors
+    n = F.shape[0]
+    if F.shape[1] != n:
+        raise ValueError("tp_lu_solve requires a square factorization")
+    b = jnp.asarray(b)
+    vec = b.ndim == 1
+    B = (b[:, None] if vec else b).astype(F.dtype)
+    if B.shape[0] != n:
+        raise ValueError(
+            f"rhs rows {B.shape[0]} do not match factorization size {n}"
+        )
+    if lu_res.pivoted:
+        B = jnp.take(B, lu_res.p, axis=0)
+
+    D = mesh.shape[axis]
+    w = panel_width
+    npad = -n % (D * w)
+    N = n + npad
+    if npad:
+        Fp = jnp.zeros((N, N), F.dtype).at[:n, :n].set(F)
+        # identity padding: unit-lower block is I, upper diag is 1, so
+        # the padded trailing solve is a no-op on zero-padded rhs rows
+        Fp = Fp.at[jnp.arange(n, N), jnp.arange(n, N)].set(1)
+        F = Fp
+        B = jnp.concatenate(
+            [B, jnp.zeros((npad, B.shape[1]), B.dtype)], axis=0
+        )
+
+    order_np = _cyclic_order(N, w, D)
+    order = jnp.asarray(order_np, dtype=jnp.int32)
+    kernel = functools.partial(
+        _tp_solve_kernel, axis=axis, n=N, w=w, D=D, k=B.shape[1]
+    )
+    shard_fn = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(None, axis), P()),
+        out_specs=P(),
+    )
+    col_sharding = NamedSharding(mesh, P(None, axis))
+
+    @jax.jit
+    def run(F, B):
+        F_store = lax.with_sharding_constraint(
+            jnp.take(F, order, axis=1), col_sharding
+        )
+        return shard_fn(F_store, B)[:n]
+
+    x = run(jax.device_put(F, col_sharding), B)
+    return x[:, 0] if vec else x

@@ -277,3 +277,65 @@ def test_tp_lu_pallas_panels():
         jnp.asarray(A2), mesh, "tp", panel_width=w, config=cfg_j
     )
     assert int(info_p2) == int(info_j2) != 0
+
+
+@pytest.mark.parametrize("pivot", [True, False])
+def test_tp_lu_solve_matches_single_device(pivot):
+    """Distributed substitution == single-device lu_solve on the same
+    factorization (both are blocked substitutions; tolerances at
+    roundoff level, residual at LAPACK level)."""
+    mesh = mesh_1d("tp", 4)
+    w = 8
+    n = 4 * w * 2
+    A = RNG.rand(n, n) + (0 if pivot else n * np.eye(n))
+    b = RNG.rand(n)
+    res = rf.tp_lu(jnp.asarray(A), mesh, "tp", panel_width=w, pivot=pivot)
+    x = np.asarray(
+        rf.tp_lu_solve(res, jnp.asarray(b), mesh, "tp", panel_width=w)
+    )
+    x1 = np.asarray(rf.lu_solve(res, jnp.asarray(b)))
+    np.testing.assert_allclose(x, x1, rtol=0, atol=1e-9)
+    eps = np.finfo(np.float64).eps
+    scale = 100 * 20 * n * eps
+    assert np.max(np.abs(A @ x - b)) < (
+        scale if pivot else 10 * np.sqrt(scale)
+    )
+
+
+def test_tp_lu_solve_matrix_rhs_and_padding():
+    """(n, k) stacked right-hand sides, with n NOT divisible by D*w so
+    the identity padding path runs in both factor and solve."""
+    mesh = mesh_1d("tp", 4)
+    w = 8
+    n, k = 50, 3  # pads to 64
+    A = RNG.rand(n, n)
+    B = RNG.rand(n, k)
+    res = rf.tp_lu(jnp.asarray(A), mesh, "tp", panel_width=w)
+    X = np.asarray(
+        rf.tp_lu_solve(res, jnp.asarray(B), mesh, "tp", panel_width=w)
+    )
+    assert X.shape == (n, k)
+    np.testing.assert_allclose(A @ X, B, atol=1e-10)
+    X1 = np.asarray(rf.lu_solve(res, jnp.asarray(B)))
+    np.testing.assert_allclose(X, X1, rtol=0, atol=1e-9)
+
+
+def test_tp_lu_solve_accepts_single_device_factorization():
+    """The solver only needs an LU result object — one computed on a
+    single device distributes the same way."""
+    mesh = mesh_1d("tp", 4)
+    n, w = 48, 8
+    A = RNG.rand(n, n)
+    b = RNG.rand(n)
+    res = rf.lu(jnp.asarray(A))
+    x = np.asarray(
+        rf.tp_lu_solve(res, jnp.asarray(b), mesh, "tp", panel_width=w)
+    )
+    np.testing.assert_allclose(A @ x, b, atol=1e-10)
+
+
+def test_tp_lu_solve_shape_errors():
+    mesh = mesh_1d("tp", 4)
+    res = rf.lu(jnp.asarray(RNG.rand(16, 16)))
+    with pytest.raises(ValueError):
+        rf.tp_lu_solve(res, jnp.zeros(17), mesh, "tp", panel_width=8)
