@@ -38,7 +38,7 @@ from .models.lu import (
     normalize_pivot,
     SingularMatrixError,
 )
-from .models.solve import lu_solve, lu_solve_refined, ldiv
+from .models.solve import lu_solve, lu_solve_refined, ldiv, solve
 from .models.butterfly import (
     BWorkspace,
     butterfly_workspace,
@@ -74,6 +74,7 @@ __all__ = [
     "lu_solve",
     "lu_solve_refined",
     "ldiv",
+    "solve",
     "SingularMatrixError",
     "BWorkspace",
     "butterfly_workspace",

@@ -150,3 +150,17 @@ def lu_solve_refined(
         normalize_trans(trans),
         iters,
     )
+
+
+def solve(A: jax.Array, b: jax.Array, pivot: bool = True, *,
+          trans=0, check: bool = False, config=None) -> jax.Array:
+    """One-shot ``A \\ b``: factor then substitute.
+
+    The reference leans on Julia's backslash (``lu(A) \\ b``); this is
+    that composition as one call — ``lu_solve(lu(A, pivot), b)`` with
+    the same ``trans``/``check``/``config`` knobs.  Factor explicitly
+    via :func:`~.lu.lu` instead when solving against the same matrix
+    more than once."""
+    from .lu import lu
+
+    return lu_solve(lu(A, pivot, check=check, config=config), b, trans)

@@ -435,3 +435,24 @@ def test_empty_and_tiny():
     A = rand_mat((1, 1), np.float64)
     F = rf.lu(jnp.asarray(A))
     assert np.allclose(np.asarray(F.factors)[0, 0], A[0, 0])
+
+
+def test_one_shot_solve():
+    """rf.solve == lu_solve(lu(A), b) — the backslash analog."""
+    rng = np.random.RandomState(11)
+    A = jnp.asarray(rng.rand(40, 40))
+    b = jnp.asarray(rng.rand(40))
+    x = rf.solve(A, b)
+    np.testing.assert_array_equal(
+        np.asarray(x), np.asarray(rf.lu_solve(rf.lu(A), b))
+    )
+    np.testing.assert_allclose(
+        np.asarray(A) @ np.asarray(x), np.asarray(b), atol=1e-10
+    )
+    xt = rf.solve(A, b, trans="T")
+    np.testing.assert_allclose(
+        np.asarray(A).T @ np.asarray(xt), np.asarray(b), atol=1e-10
+    )
+    S = jnp.asarray(np.eye(8)).at[3, 3].set(0.0)
+    with pytest.raises(rf.SingularMatrixError):
+        rf.solve(S, jnp.ones(8), check=True)
