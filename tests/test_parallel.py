@@ -339,3 +339,17 @@ def test_tp_lu_solve_shape_errors():
     res = rf.lu(jnp.asarray(RNG.rand(16, 16)))
     with pytest.raises(ValueError):
         rf.tp_lu_solve(res, jnp.zeros(17), mesh, "tp", panel_width=8)
+
+
+def test_tp_lu_solve_single_device_mesh():
+    """D=1 degenerate mesh: the block-cyclic layout collapses to the
+    plain column order and the psum is a no-op — must still solve."""
+    mesh = mesh_1d("tp", 1)
+    n, w = 40, 8
+    A = RNG.rand(n, n)
+    b = RNG.rand(n)
+    res = rf.tp_lu(jnp.asarray(A), mesh, "tp", panel_width=w)
+    x = np.asarray(
+        rf.tp_lu_solve(res, jnp.asarray(b), mesh, "tp", panel_width=w)
+    )
+    np.testing.assert_allclose(A @ x, b, atol=1e-10)
