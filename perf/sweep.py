@@ -211,6 +211,11 @@ def main() -> None:
             A = jnp.asarray(
                 rng.standard_normal((B, n, n)), dtype=jnp.float32
             )
+            # loop lengths scaled so the K2 body runs tens of ms: at
+            # n=16 the whole 10k batch factors in ~0.13 ms and the
+            # fixed (2, 8) pair sits below relay noise (a round-3
+            # capture produced a NEGATIVE marginal there)
+            bks = (20, 120) if n <= 32 else (2, 8)
             for name, fn in {
                 "rf_batched": lambda a: batched_lu_factor(a, True)[0],
                 "rf_batched_perm": lambda a: batched_lu_factor_perm(
@@ -220,7 +225,7 @@ def main() -> None:
                     jax.scipy.linalg.lu_factor
                 )(a)[0],
             }.items():
-                t = best_time(fn, A, ks=(2, 8))  # whole-batch body is big
+                t = best_time(fn, A, ks=bks)
                 gf = B * luflop(n, n) / t / 1e9
                 print(
                     f"{name}\tB={B} n={n}\t{gf:.1f} GFLOP/s\t{t * 1e3:.1f} ms"
