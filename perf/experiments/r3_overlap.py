@@ -33,8 +33,8 @@ def log(msg):
 
 log(f"=== run {time.strftime('%H:%M:%S')}")
 
-T = 256
-M = 512  # matmul side
+T = int(os.environ.get("R3_T", "256"))
+M = int(os.environ.get("R3_M", "512"))  # matmul side
 hi = jax.lax.Precision.HIGHEST
 
 
