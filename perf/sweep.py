@@ -72,6 +72,47 @@ def best_time(fn, A, reps: int = 3, ks=None) -> float:
     return marginal_time(fn, A, k1=k1, k2=k2, reps=reps)
 
 
+def best_stats(fn, A, reps: int = 4, ks=None) -> dict:
+    """Per-cell timing WITH spread (interleaved per-rep marginals) —
+    every committed artifact cell carries its uncertainty."""
+    from recursivefactorization_jl_tpu.utils.profiling import (
+        marginal_time_stats,
+    )
+
+    k1, k2 = ks if ks else _ks_for(min(A.shape[-2:]))
+    return marginal_time_stats(fn, A, k1=k1, k2=k2, reps=reps)
+
+
+def defaults_stamp() -> dict:
+    """Defaults-version stamp written as the first record of every
+    artifact (VERDICT r3 item 3): which package defaults produced it."""
+    import dataclasses
+    import datetime
+
+    cfg = rf.default_config()
+    return {
+        "meta": "defaults_stamp",
+        "package_version": rf.__version__,
+        "jax_version": jax.__version__,
+        "backend": jax.default_backend(),
+        "date": datetime.date.today().isoformat(),
+        "config": {
+            f.name: getattr(cfg, f.name)
+            for f in dataclasses.fields(cfg)
+        },
+        "auto_xla_threshold": rf.LUConfig.AUTO_XLA_THRESHOLD,
+    }
+
+
+def make_matrix(rng, shape, dtype):
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        return jnp.asarray(
+            rng.standard_normal(shape) + 1j * rng.standard_normal(shape),
+            dtype=dtype,
+        )
+    return jnp.asarray(rng.standard_normal(shape), dtype=dtype)
+
+
 def variants(dtype, inplace_compare: bool = False, whole: bool = False,
              no_bf16x3: bool = False):
     from recursivefactorization_jl_tpu.models.lu import _dispatch_factor
@@ -103,12 +144,12 @@ def variants(dtype, inplace_compare: bool = False, whole: bool = False,
             jnp.copy(a), True, rf.default_config()
         )[0]
     if not (
-        dtype == jnp.dtype(jnp.float64)
+        dtype in (jnp.dtype(jnp.float64), jnp.dtype(jnp.complex128))
         and jax.default_backend() in ("tpu", "axon")
     ):
         # XLA/LAPACK baseline (the OpenBLAS lu! analog).  Unavailable
-        # for f64 on TPU: XLA's LuDecomposition implements F32/C64 only
-        # — this package's f64 path (emulated f64 matmuls) still runs.
+        # for f64/c128 on TPU: XLA's LuDecomposition implements F32/C64
+        # only — this package's emulated-matmul paths still run.
         out["xla_lu"] = lambda a: jax.scipy.linalg.lu_factor(a)[0]
     if dtype == jnp.dtype(jnp.float32) and not no_bf16x3:
         # 3-pass MXU Schur bulk (the recommended fast mode; pair the
@@ -155,10 +196,12 @@ def main() -> None:
         # without this, float64 silently downcasts to f32 and the
         # "f64" sweep measures nothing
         jax.config.update("jax_enable_x64", True)
+    if args.dtype == "complex128":
+        jax.config.update("jax_enable_x64", True)
     dtype = jnp.dtype(args.dtype)
     assert jnp.zeros((), dtype).dtype == dtype, "x64 not enabled"
     rng = np.random.RandomState(123)  # ref perf/lu.jl:4
-    records = []
+    records = [defaults_stamp()]
 
     print(f"# LU sweep dtype={dtype.name} backend={jax.default_backend()}")
     vs = variants(dtype, args.inplace_compare, args.whole, args.no_bf16x3)
@@ -170,14 +213,22 @@ def main() -> None:
     # any difference there is pure relay drift, not a kernel comparison.
     auto_thresh = rf.default_config().resolved_xla_threshold(dtype)
     for n in sizes:
-        A = jnp.asarray(rng.standard_normal((n, n)), dtype=dtype)
+        A = make_matrix(rng, (n, n), dtype)
         row = [str(n)]
         for name, fn in vs.items():
-            t = best_time(fn, A)
-            gf = luflop(n, n) / t / 1e9
+            st = best_stats(fn, A)
+            t = st["time_s"]
+            gf = luflop(n, n) / t / 1e9 if t > 0 else float("nan")
             row.append(f"{gf:.1f}")
             rec = {"variant": name, "n": n, "dtype": dtype.name,
-                   "time_s": t, "gflops": gf}
+                   "time_s": t, "gflops": gf,
+                   "spread_s": [st["min_s"], st["max_s"]],
+                   "reps": st["reps"]}
+            if st["negative_reps"]:
+                # differential noise exceeded the signal in some rep:
+                # the cell is at/below the relay noise floor at these
+                # loop lengths — carried in the artifact, not hidden
+                rec["below_noise_floor_reps"] = st["negative_reps"]
             if (name == "rf_default" and auto_thresh is not None
                     and n <= auto_thresh):
                 rec["delegates_to_xla"] = True

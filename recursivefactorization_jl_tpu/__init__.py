@@ -31,6 +31,7 @@ Public API (mirrors the reference's `lu/lu!` surface, functionally):
 
 from .models.lu import (
     LU,
+    dispatch_route,
     lu,
     lu_factor,
     lu_factor_p,
@@ -66,6 +67,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "LU",
+    "dispatch_route",
     "lu",
     "lu_factor",
     "lu_factor_p",

@@ -198,6 +198,62 @@ class LU:
         return lu_solve(self, jnp.eye(n, dtype=self.factors.dtype))
 
 
+def dispatch_route(
+    shape, dtype, pivot: bool = True, config: Optional[LUConfig] = None,
+    tpu=None,
+) -> str:
+    """Which factorization path :func:`lu_factor` takes for a matrix of
+    this static ``(shape, dtype, pivot, config)`` — the package's
+    dispatch table as a pure, unit-testable function (the decisions are
+    all trace-time statics; ``_dispatch_factor`` executes exactly what
+    this reports, it calls this function).  ``tpu`` overrides backend
+    detection so TPU routing (incl. the empirical v5e crash-class
+    fallbacks) can be pinned from a CPU test session.
+
+    Returns one of:
+    * ``"generic"``   — masked pure-JAX unblocked loop (the generic
+      fallback of ref src/lu.jl:117-118; also minmn == 0);
+    * ``"complex-unblocked"`` / ``"complex-blocked"`` — complex dtypes
+      (no Pallas panel; blocked above small_threshold);
+    * ``"xla"``       — platform ``lax.linalg.lu`` escape hatch (the
+      stdlib-fallback analog of ref src/lu.jl:70-73);
+    * ``"physical"``  — no-row-movement blocked schedule (opt-in);
+    * ``"whole"``     — single fused whole-matrix kernel call;
+    * ``"blocked"``   — blocked right-looking panel schedule.
+    """
+    from ..utils.config import is_tpu_backend
+
+    m, n = shape
+    minmn = min(m, n)
+    dtype = jnp.dtype(dtype)
+    config = config or default_config()
+    fast_dtype = dtype in (
+        jnp.dtype(jnp.float32),
+        jnp.dtype(jnp.float64),
+        jnp.dtype(jnp.bfloat16),
+    )
+    is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
+    if (not fast_dtype and not is_complex) or minmn == 0:
+        return "generic"
+    if is_complex:
+        if m >= n and minmn <= config.small_threshold:
+            return "complex-unblocked"
+        return "complex-blocked"
+    xla_thresh = config.resolved_xla_threshold(dtype, tpu)
+    if xla_thresh is not None and pivot and minmn <= xla_thresh:
+        return "xla"
+    if config.schedule == "physical" and m >= n:
+        # the noswap panel kernel is f32 Mosaic on chip (interpret-mode
+        # handles any dtype on CPU); other dtypes fall through to the
+        # swap schedule
+        on_tpu = is_tpu_backend() if tpu is None else tpu
+        if dtype == jnp.dtype(jnp.float32) or not on_tpu:
+            return "physical"
+    if minmn <= config.small_threshold and m >= n:
+        return "whole"
+    return "blocked"
+
+
 @full_matmul_precision
 def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):
     """Returns ``(factors, ipiv, perm, info)``."""
@@ -216,26 +272,20 @@ def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):
         )
     m, n = A.shape
     minmn = min(m, n)
-    fast_dtype = A.dtype in (
-        jnp.dtype(jnp.float32),
-        jnp.dtype(jnp.float64),
-        jnp.dtype(jnp.bfloat16),
-    )
-    is_complex = jnp.issubdtype(A.dtype, jnp.complexfloating)
-    if (not fast_dtype and not is_complex) or minmn == 0:
+    route = dispatch_route(A.shape, A.dtype, pivot, config)
+    if route == "generic":
         # Generic fallback — the analog of ref src/lu.jl:117-118.
         return unblocked_lu(A, pivot)
-    if is_complex:
+    if route == "complex-unblocked":
+        return unblocked_lu(A, pivot)
+    if route == "complex-blocked":
         # Complex dtypes: no Pallas panel, but the blocked schedule still
         # pays off above the threshold — panels factor via the masked
         # pure-JAX loop while TRSM/Schur matmuls ride the MXU (C64
         # natively; C128 emulated).  Fat complex also goes blocked (its
         # fat wrapper factors the left block, then TRSM).
-        if m >= n and minmn <= config.small_threshold:
-            return unblocked_lu(A, pivot)
         return blocked_lu(A, pivot, config)
-    xla_thresh = config.resolved_xla_threshold(A.dtype)
-    if xla_thresh is not None and pivot and minmn <= xla_thresh:
+    if route == "xla":
         # Platform-LU escape hatch (the reference's stdlib fallback for
         # small matrices, src/lu.jl:70-73): XLA's blocked getrf wins
         # below the measured crossover.  info is derived from the U
@@ -245,26 +295,24 @@ def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):
         # is EXACTLY zero.  If XLA's blocked elimination rounds a pivot
         # that LAPACK's update order would make exactly zero to a tiny
         # nonzero (or vice versa), info parity with *getrf breaks —
-        # inherent to deriving info from a third-party kernel's output;
-        # this package's own kernels (the paths above/below) flag the
-        # zero pivot at the elimination step itself.
+        # inherent to deriving info from a third-party kernel's output.
+        # ``check``-enabled calls close the gap: :func:`lu` re-derives
+        # info with this package's own elimination-order-faithful scan
+        # whenever the delegated diagonal looks numerically singular
+        # (see ``_strict_info_suspect``), so info parity with *getrf
+        # holds on the delegated path for checked calls; unchecked
+        # jit-path calls keep the exact-zero derivation.
         f, ipiv, perm = jax.lax.linalg.lu(A)
         diag = jnp.diagonal(f)[:minmn]
         zero = diag == 0
         first = jnp.argmax(zero)  # first True, or 0 if none
         info = jnp.where(jnp.any(zero), first + 1, 0).astype(jnp.int32)
         return f, ipiv.astype(jnp.int32), perm.astype(jnp.int32), info
-    if config.schedule == "physical" and m >= n:
-        from ..utils.config import is_tpu_backend
+    if route == "physical":
+        from ..ops.blocked import blocked_lu_physical
 
-        # the noswap panel kernel is f32 Mosaic on chip (interpret-mode
-        # handles any dtype on CPU); other dtypes fall through to the
-        # swap schedule
-        if A.dtype == jnp.dtype(jnp.float32) or not is_tpu_backend():
-            from ..ops.blocked import blocked_lu_physical
-
-            return blocked_lu_physical(A, pivot, config)
-    if minmn <= config.small_threshold and m >= n:
+        return blocked_lu_physical(A, pivot, config)
+    if route == "whole":
         # Whole matrix in one fused kernel — subsumes both the
         # `min(m,n) < 10` escape hatch (ref src/lu.jl:70) and sub-threshold
         # non-recursion (ref src/lu.jl:106).
@@ -330,18 +378,97 @@ def _check_info(info, pivot: bool):
         )
 
 
+def _resolve_check(check, info) -> bool:
+    """Resolve the ``check`` selector against tracing context.
+
+    ``"auto"`` (the default, matching the reference's ``check = Val(true)``
+    default, ref src/lu.jl:63-64) raises on a singular factorization when
+    the result is concrete and silently skips the host sync under jit
+    tracing — the jit-safe reading of the reference contract.  ``True``
+    demands the check; under tracing that is impossible (info is a
+    tracer), so it raises a descriptive error instead of a TracerError.
+    ``False`` skips."""
+    tracing = isinstance(info, jax.core.Tracer)
+    if check == "auto":
+        return not tracing
+    if check is True:
+        if tracing:
+            raise ValueError(
+                "check=True requires a concrete result but lu() is being "
+                "jit-traced; use check='auto' (checks only outside jit) "
+                "or check=False"
+            )
+        return True
+    if check is False:
+        return False
+    raise ValueError(f"check must be True/False/'auto', got {check!r}")
+
+
+# Re-derivation trigger for the delegated (platform-kernel) path: the
+# smallest |U_kk| counts as numerically singular when it is subnormal
+# or below SUSPECT_RTOL * minmn * eps * max|U_kk| — the magnitude class
+# where XLA's blocked update order can round a pivot that LAPACK's
+# order makes exactly zero (or vice versa).  Well-conditioned matrices
+# sit far above this, so checked calls stay at platform-kernel speed.
+SUSPECT_RTOL = 16.0
+
+
+def _strict_info_suspect(factors, minmn: int) -> bool:
+    diag = jnp.abs(jnp.diagonal(factors)[:minmn])
+    dmin = float(jnp.min(diag))
+    dmax = float(jnp.max(diag))
+    eps = float(jnp.finfo(factors.dtype).eps)
+    tiny = float(jnp.finfo(factors.dtype).tiny)
+    return dmin <= tiny or dmin <= SUSPECT_RTOL * minmn * eps * dmax
+
+
+def _strict_info(A, factors, info, pivot: bool, config: LUConfig):
+    """info-contract closure for the delegated path (SURVEY §5: info
+    semantics are an API contract).  When the delegated factor's U
+    diagonal is numerically singular (``_strict_info_suspect``), the
+    exact-zero derivation of ``_dispatch_factor`` cannot be trusted for
+    parity with *getrf* — re-derive info by running this package's own
+    elimination-order-faithful unblocked scan on the original matrix
+    (tested for exact info parity with LAPACK's d/s/z/c-getrf).  One
+    platform caveat: XLA backends running flush-to-zero treat a
+    DENORMAL pivot as zero (it is zero for every subsequent op there —
+    1/pivot would be inf), where LAPACK outside XLA keeps it; the scan
+    reports the platform-faithful verdict (tests pin both behaviors).
+    Only reachable on concrete (non-traced) checked calls, so the host
+    branch is fine."""
+    minmn = min(A.shape)
+    if not _strict_info_suspect(factors, minmn):
+        return info
+    _, _, _, strict = jax.jit(unblocked_lu, static_argnums=1)(A, pivot)
+    return strict
+
+
 def lu(
     A: jax.Array,
     pivot: bool = True,
     *,
-    check: bool = False,
+    check="auto",
     config: Optional[LUConfig] = None,
 ) -> LU:
     """Out-of-place LU — the analog of ``RecursiveFactorization.lu``
-    (ref src/lu.jl:19-21). Returns an :class:`LU` object."""
+    (ref src/lu.jl:19-21). Returns an :class:`LU` object.
+
+    ``check``: ``"auto"`` (default) raises :class:`SingularMatrixError`
+    on an exactly-singular factorization when called outside jit and
+    skips the host sync under tracing (the jit-safe form of the
+    reference's ``check = Val(true)`` default, ref src/lu.jl:63-64,120);
+    ``True`` forces the check (error under tracing); ``False`` skips it.
+    On checked concrete calls the delegated platform-kernel path also
+    re-derives ``info`` with this package's own elimination scan when
+    the factors look numerically singular, restoring exact info parity
+    with LAPACK getrf (see ``_strict_info``)."""
     pivot = normalize_pivot(pivot)
+    A = jnp.asarray(A)
     factors, ipiv, perm, info = lu_factor_p(A, pivot, config=config)
-    if check:
+    if _resolve_check(check, info):
+        cfg = config or default_config()
+        if dispatch_route(A.shape, A.dtype, pivot, cfg) == "xla":
+            info = _strict_info(A, factors, info, pivot, cfg)
         _check_info(info, pivot)
     return LU(factors, ipiv, info, pivoted=pivot, perm=perm)
 
@@ -350,16 +477,31 @@ def lu_inplace(
     A: jax.Array,
     pivot: bool = True,
     *,
-    check: bool = False,
+    check="auto",
     config: Optional[LUConfig] = None,
 ) -> LU:
     """"In-place" LU: the input buffer is donated to XLA so the
     factorization reuses A's memory — the ``lu!`` analog
-    (ref src/lu.jl:63-79). The caller must not reuse ``A`` afterwards."""
+    (ref src/lu.jl:63-79). The caller must not reuse ``A`` afterwards.
+
+    ``check`` semantics match :func:`lu`.  One interaction: the
+    strict-info re-derivation of checked calls needs the original
+    matrix, which donation destroys — so when a checked concrete call
+    routes to the delegated platform kernel, donation is skipped for
+    that call (same peak memory as the copy it would otherwise need)."""
     pivot = normalize_pivot(pivot)
+    A = jnp.asarray(A)
+    cfg = config or default_config()
+    donate = True
+    checkable = check != False  # "auto" or True  # noqa: E712
+    delegated = dispatch_route(A.shape, A.dtype, pivot, cfg) == "xla"
+    if checkable and delegated and not isinstance(A, jax.core.Tracer):
+        donate = False
     factors, ipiv, perm, info = lu_factor_p(
-        A, pivot, config=config, donate=True
+        A, pivot, config=config, donate=donate
     )
-    if check:
+    if _resolve_check(check, info):
+        if delegated:
+            info = _strict_info(A, factors, info, pivot, cfg)
         _check_info(info, pivot)
     return LU(factors, ipiv, info, pivoted=pivot, perm=perm)

@@ -153,7 +153,7 @@ def lu_solve_refined(
 
 
 def solve(A: jax.Array, b: jax.Array, pivot: bool = True, *,
-          trans=0, check: bool = False, config=None) -> jax.Array:
+          trans=0, check="auto", config=None) -> jax.Array:
     """One-shot ``A \\ b``: factor then substitute.
 
     The reference leans on Julia's backslash (``lu(A) \\ b``); this is

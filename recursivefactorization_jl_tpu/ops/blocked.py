@@ -124,6 +124,59 @@ def blocked_lu_physical(
     return factors, prow, perm, info
 
 
+def resolve_blocked_schedule(
+    m: int, n: int, dtype, pivot: bool, config: LUConfig, tpu=None
+) -> Tuple[LUConfig, int]:
+    """Pure trace-time resolution of the blocked schedule's effective
+    ``(config, panel_width)`` for an (m, n) matrix — extracted from
+    :func:`blocked_lu` so the empirical Mosaic crash-class fallbacks are
+    unit-testable without running a factorization
+    (tests/test_routing.py pins every documented routing decision).
+
+    ``tpu`` overrides backend detection for tests; None -> detect.
+    Applied in order:
+    1. ``blocked_panel_variant`` override (LUConfig);
+    2. fori -> shadow fallback when the auto width drops below 512 at
+       minmn >= 4096 on the Pallas path (v5e compile-helper crash
+       class, 2026-08);
+    3. no-pivot auto-width cap at 128 for minmn >= 4096 (same crash
+       class, no-pivot flavor).
+    """
+    import dataclasses
+
+    minmn = min(m, n)
+    if config.resolved_blocked_variant() != config.panel_variant:
+        config = dataclasses.replace(
+            config, panel_variant=config.resolved_blocked_variant()
+        )
+    itemsize = jnp.dtype(dtype).itemsize
+    w = config.resolved_panel_width(m, n, itemsize)
+    if (
+        config.panel_width is None
+        and config.panel_variant.startswith("fori")
+        and w < 512
+        and minmn >= 4096
+        and _use_pallas(jnp.dtype(dtype), config, tpu)
+    ):
+        # Empirical Mosaic/XLA workaround (v5e, 2026-08): composed
+        # blocked graphs with 256-wide fori panels at n>=4096 crash the
+        # TPU compile helper (LUConfig.blocked_panel_variant).  If the
+        # VMEM budget can't afford w=512 fori panels (m beyond ~16k
+        # f32), fall back to the static shadow kernel class, whose
+        # narrow-panel widths are proven on chip.
+        config = dataclasses.replace(config, panel_variant="shadow")
+        w = config.resolved_panel_width(m, n, itemsize)
+    if not pivot and minmn >= 4096 and config.panel_width is None:
+        # Empirical Mosaic/XLA workaround (v5e, 2026-08): the composed
+        # no-pivot blocked graph with 256-wide panels at n>=4096 crashes
+        # the TPU compile helper (the same panels compile standalone and
+        # the pivoted graph compiles at any width); 128-wide panels
+        # compile fine.  Only the auto-derived width is capped — an
+        # explicit panel_width is honored as given.
+        w = min(w, 128)
+    return config, w
+
+
 def blocked_lu(
     A: jax.Array, pivot: bool, config: LUConfig
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -145,40 +198,7 @@ def blocked_lu(
         U1R = solve_unit_lower(FL, AR, config.trsm_block)
         return jnp.concatenate([FL, U1R], axis=1), ipiv, perm, info
 
-    if config.resolved_blocked_variant() != config.panel_variant:
-        import dataclasses
-
-        # the blocked schedule's panels may pin a different kernel
-        # variant than the whole-matrix path (see LUConfig)
-        config = dataclasses.replace(
-            config, panel_variant=config.resolved_blocked_variant()
-        )
-    w = config.resolved_panel_width(m, n, jnp.dtype(A.dtype).itemsize)
-    if (
-        config.panel_width is None
-        and config.panel_variant.startswith("fori")
-        and w < 512
-        and minmn >= 4096
-        and _use_pallas(A.dtype, config)
-    ):
-        # Empirical Mosaic/XLA workaround (v5e, 2026-08): composed
-        # blocked graphs with 256-wide fori panels at n>=4096 crash the
-        # TPU compile helper (LUConfig.blocked_panel_variant).  If the
-        # VMEM budget can't afford w=512 fori panels (m beyond ~16k
-        # f32), fall back to the static shadow kernel class, whose
-        # narrow-panel widths are proven on chip.
-        import dataclasses
-
-        config = dataclasses.replace(config, panel_variant="shadow")
-        w = config.resolved_panel_width(m, n, jnp.dtype(A.dtype).itemsize)
-    if not pivot and minmn >= 4096 and config.panel_width is None:
-        # Empirical Mosaic/XLA workaround (v5e, 2026-08): the composed
-        # no-pivot blocked graph with 256-wide panels at n>=4096 crashes
-        # the TPU compile helper (the same panels compile standalone and
-        # the pivoted graph compiles at any width); 128-wide panels
-        # compile fine.  Only the auto-derived width is capped — an
-        # explicit panel_width is honored as given.
-        w = min(w, 128)
+    config, w = resolve_blocked_schedule(m, n, A.dtype, pivot, config)
     ipiv = jnp.zeros((minmn,), jnp.int32)
     perm = jnp.arange(m, dtype=jnp.int32)
     info = jnp.int32(0)

@@ -41,12 +41,44 @@ from ..utils.config import (
 from .unblocked import unblocked_lu
 
 
-def _use_pallas(dtype, config: LUConfig) -> bool:
+def _use_pallas(dtype, config: LUConfig, tpu=None) -> bool:
+    """``tpu`` overrides backend detection (routing tests pin the TPU
+    decision from a CPU session; None -> detect)."""
     if config.backend == "xla":
         return False
     if config.backend == "pallas":
         return True
-    return is_tpu_backend() and dtype == jnp.dtype(jnp.float32)
+    if tpu is None:
+        tpu = is_tpu_backend()
+    return tpu and dtype == jnp.dtype(jnp.float32)
+
+
+def panel_route(m: int, w: int, dtype, config: LUConfig, tpu=None) -> str:
+    """Pure trace-time routing of a panel-kernel call on an (m, w)
+    block (unit-testable; :func:`panel_factor` executes exactly this).
+
+    * ``"split"``    — panel wider than ``inner_panel_width`` and not
+      fori-direct: factored as a blocked schedule of sub-panels (the
+      static-unroll kernels cap at ``inner`` width — Mosaic program
+      size grows linearly with the unrolled pivot chain);
+    * ``"pallas"``   — one Pallas kernel call (``config.panel_variant``);
+      fori variants take ANY width directly while the whole panel fits
+      the fori VMEM footprint (~3x panel bytes: aliased in/out +
+      (micro+1, m) shadow);
+    * ``"unblocked"`` — masked pure-JAX loop (non-Pallas backends).
+    """
+    dtype = jnp.dtype(dtype)
+    inner = config.inner_panel_width
+    fori_direct = (
+        config.panel_variant.startswith("fori")
+        and _use_pallas(dtype, config, tpu)
+        and 3 * m * w * dtype.itemsize <= FORI_VMEM_BUDGET_BYTES
+    )
+    if min(m, w) > inner and not fori_direct:
+        return "split"
+    if _use_pallas(dtype, config, tpu):
+        return "pallas"
+    return "unblocked"
 
 
 def panel_factor(
@@ -64,26 +96,17 @@ def panel_factor(
     matmuls (the reference's recursion-to-blocksize analog,
     src/lu.jl:97,184-186)."""
     m, w = panel.shape
-    inner = config.inner_panel_width
-    fori_direct = (
-        config.panel_variant.startswith("fori")
-        and _use_pallas(panel.dtype, config)
-        # whole-panel VMEM residency: the fori kernel footprint is ~3x
-        # panel bytes (aliased in/out + (micro+1, m) shadow); very tall
-        # panels fall back to the blocked split below
-        and 3 * m * w * panel.dtype.itemsize <= FORI_VMEM_BUDGET_BYTES
-    )
-    if min(m, w) > inner and not fori_direct:
-        # The static-unroll kernels cap at `inner` width (Mosaic program
-        # size grows linearly with the unrolled pivot chain); the fori
-        # kernel blocks internally and takes any width directly.
+    route = panel_route(m, w, panel.dtype, config)
+    if route == "split":
         from .blocked import blocked_lu  # deferred: avoids import cycle
 
         import dataclasses
 
-        sub = dataclasses.replace(config, panel_width=inner)
+        sub = dataclasses.replace(
+            config, panel_width=config.inner_panel_width
+        )
         return blocked_lu(panel, pivot, sub)
-    if _use_pallas(panel.dtype, config):
+    if route == "pallas":
         return panel_factor_pallas(
             panel,
             pivot,

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.batched_kernel import (
     batched_lu_pallas,
     batched_lu_pallas_noswap,
+    batched_solve_pallas,
     pick_group,
 )
 from ..ops.unblocked import unblocked_lu
@@ -124,6 +125,23 @@ def batched_lu_factor_perm(
     return f, perm, info
 
 
+def _use_solve_pallas(factors, b, trans) -> bool:
+    """Lane-batched solve kernel routing: TPU f32 square n <= 128
+    untransposed solves with few right-hand sides (the 10k x 64 bulk
+    workload, BASELINE batched configs); everything else vmaps the
+    blocked TRSM path."""
+    n = factors.shape[1]
+    nrhs = 1 if b.ndim == 2 else b.shape[2]
+    return (
+        is_tpu_backend()
+        and not trans
+        and factors.dtype == jnp.dtype(jnp.float32)
+        and factors.shape[1] == factors.shape[2]
+        and 0 < n <= _PALLAS_BATCH_MAX_N
+        and nrhs * n <= 1024
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("pivoted", "trans"))
 def batched_lu_solve_perm(
     factors: jax.Array,
@@ -133,7 +151,20 @@ def batched_lu_solve_perm(
     trans: bool = False,
 ) -> jax.Array:
     """Batched solve taking the composed permutation (from
-    :func:`batched_lu_factor_perm`) directly."""
+    :func:`batched_lu_factor_perm`) directly.
+
+    On the TPU f32 bulk workload (square n <= 128, untransposed) this
+    runs the lane-batched substitution kernel
+    (:func:`~..ops.batched_kernel.batched_solve_pallas`): permutation
+    as one batched gather, then both triangular sweeps in ONE Pallas
+    call that reads the factor block exactly twice.  Other
+    shapes/dtypes/trans solves vmap the blocked TRSM path."""
+    if _use_solve_pallas(factors, b, trans):
+        rhs = jnp.take_along_axis(
+            b if b.ndim == 3 else b[:, :, None], perm[:, :, None], axis=1
+        ) if pivoted else (b if b.ndim == 3 else b[:, :, None])
+        x = batched_solve_pallas(factors, rhs)
+        return x[:, :, 0] if b.ndim == 2 else x
     return jax.vmap(
         lambda f, p, rhs: _lu_solve_impl(f, p, rhs, pivoted, trans)
     )(factors, perm, b)
@@ -148,15 +179,15 @@ def batched_lu_solve(
     trans: bool = False,
 ) -> jax.Array:
     """Batched solve: ``factors`` (B, n, n), ``ipiv`` (B, n), ``b``
-    (B, n) or (B, n, k)."""
+    (B, n) or (B, n, k).  Routes to the lane-batched substitution
+    kernel on the TPU f32 bulk workload (see
+    :func:`batched_lu_solve_perm`)."""
     n = factors.shape[1]
     if pivoted:
         perm = jax.vmap(lambda p: ipiv_to_perm(p, n))(ipiv)
     else:
         perm = ipiv
-    return jax.vmap(
-        lambda f, p, rhs: _lu_solve_impl(f, p, rhs, pivoted, trans)
-    )(factors, perm, b)
+    return batched_lu_solve_perm(factors, perm, b, pivoted, trans)
 
 
 # ---------------------------------------------------------------------------

@@ -388,6 +388,7 @@ def _tp_solve_kernel(
     w: int,
     D: int,
     k: int,
+    trans: bool = False,
 ):
     """shard_map body for the distributed substitution.
 
@@ -404,6 +405,14 @@ def _tp_solve_kernel(
     block (it can even contain inf/nan from a non-triangular diag
     slice); the masked ``where`` before the psum zeroes it exactly,
     and ``where`` does not propagate NaNs from the unselected branch.
+
+    ``trans=True``: ``F_loc`` holds the (conjugate-)TRANSPOSED factors
+    F^T in the same block-cyclic column layout.  tril(F^T) = U^T is
+    then NON-unit lower (diag-block inverse = upper_inverse(d^T)^T)
+    and triu(F^T) = L^T is UNIT upper (inverse =
+    unit_lower_inverse(d^T)^T) — the same two substitution sweeps run
+    with the triangle roles swapped (single-device analog:
+    models/solve.py trans path; ref Adjoint wrappers src/lu.jl:81-83).
     """
     me = lax.axis_index(axis)
     nb = n // w
@@ -419,10 +428,18 @@ def _tp_solve_kernel(
         diag = lax.dynamic_slice(blk, (s, z), (w, w))
         rj = lax.dynamic_slice(r, (s, z), (w, k))
         if lower:
-            yj = unit_lower_inverse(diag) @ rj
+            if trans:
+                # non-unit lower U^T block: inv = upper_inverse(d^T)^T
+                yj = upper_inverse(diag.T).T @ rj
+            else:
+                yj = unit_lower_inverse(diag) @ rj
             off_mask = rowi >= s + w     # forward: update rows below
         else:
-            yj = upper_inverse(diag) @ rj
+            if trans:
+                # unit-upper L^T block: inv = unit_lower_inverse(d^T)^T
+                yj = unit_lower_inverse(diag.T).T @ rj
+            else:
+                yj = upper_inverse(diag) @ rj
             off_mask = rowi < s          # backward: update rows above
         upd = jnp.where(off_mask, blk, 0) @ yj  # (n, k); 0 off the mask
         panel_mask = (rowi >= s) & (rowi < s + w)
@@ -447,6 +464,7 @@ def tp_lu_solve(
     mesh: Mesh,
     axis: str = "tp",
     panel_width: int = 128,
+    trans=0,
 ) -> jax.Array:
     """Distributed solve ``A x = b`` from a :func:`tp_lu` (or single-
     device ``lu``) result, over mesh axis ``axis``.
@@ -459,10 +477,19 @@ def tp_lu_solve(
     matrix of stacked right-hand sides ``(n, k)``.  Semantics match the
     single-device :func:`~..models.solve.lu_solve` (pivoted solve =
     permute rhs + unit-lower + upper substitution; the no-pivot path
-    skips the permutation — ref src/lu.jl:42-61); ``trans`` solves are
-    not offered here — gather the factors and use ``lu_solve`` for
-    those.
+    skips the permutation — ref src/lu.jl:42-61).
+
+    ``trans``: same selector as :func:`~..models.solve.lu_solve`
+    (``0``/``"N"``, ``1``/``"T"``, ``2``/``"H"``).  Transpose solves
+    distribute the TRANSPOSED factors block-cyclically and swap the
+    triangle roles in the same two sweeps (``U^T y = b`` forward,
+    ``L^T z = y`` backward, ``x = P^T z``) — the distributed analog of
+    the reference's Adjoint/Transpose wrappers (ref src/lu.jl:81-83).
     """
+    from ..models.solve import normalize_trans
+    from ..utils.perm import invert_perm
+
+    t = normalize_trans(trans)
     F = lu_res.factors
     n = F.shape[0]
     if F.shape[1] != n:
@@ -474,8 +501,15 @@ def tp_lu_solve(
         raise ValueError(
             f"rhs rows {B.shape[0]} do not match factorization size {n}"
         )
-    if lu_res.pivoted:
-        B = jnp.take(B, lu_res.p, axis=0)
+    if t == 0:
+        if lu_res.pivoted:
+            B = jnp.take(B, lu_res.p, axis=0)
+    else:
+        # A = P^T L U => A^T x = b: substitute through F^T, then
+        # un-permute the result (x = P^T z); A^H conjugates the factors.
+        F = F.T
+        if t == 2 and jnp.issubdtype(F.dtype, jnp.complexfloating):
+            F = jnp.conj(F)
 
     D = mesh.shape[axis]
     w = panel_width
@@ -494,7 +528,8 @@ def tp_lu_solve(
     order_np = _cyclic_order(N, w, D)
     order = jnp.asarray(order_np, dtype=jnp.int32)
     kernel = functools.partial(
-        _tp_solve_kernel, axis=axis, n=N, w=w, D=D, k=B.shape[1]
+        _tp_solve_kernel, axis=axis, n=N, w=w, D=D, k=B.shape[1],
+        trans=t != 0,
     )
     shard_fn = jax.shard_map(
         kernel,
@@ -512,4 +547,6 @@ def tp_lu_solve(
         return shard_fn(F_store, B)[:n]
 
     x = run(jax.device_put(F, col_sharding), B)
+    if t != 0 and lu_res.pivoted:
+        x = jnp.take(x, invert_perm(lu_res.p), axis=0)
     return x[:, 0] if vec else x

@@ -204,11 +204,15 @@ class LUConfig:
             return 64
         return 32
 
-    def resolved_xla_threshold(self, dtype) -> Optional[int]:
+    def resolved_xla_threshold(self, dtype, tpu: Optional[bool] = None) -> Optional[int]:
+        """``tpu`` overrides backend detection (routing tests pin the TPU
+        decision from a CPU session; None -> detect)."""
         if self.xla_threshold == "auto":
             import jax.numpy as jnp
 
-            if is_tpu_backend() and dtype == jnp.dtype(jnp.float32):
+            if tpu is None:
+                tpu = is_tpu_backend()
+            if tpu and dtype == jnp.dtype(jnp.float32):
                 return self.AUTO_XLA_THRESHOLD
             return None
         return self.xla_threshold

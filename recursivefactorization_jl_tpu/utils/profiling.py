@@ -87,3 +87,56 @@ def marginal_time(
             best = min(best, time.perf_counter() - t0)
         ts.append(best)
     return (ts[1] - ts[0]) / (k2 - k1)
+
+
+def marginal_time_stats(
+    fn: Callable, x, k1: int = 3, k2: int = 13, reps: int = 4
+) -> dict:
+    """Like :func:`marginal_time` but returns per-rep spread so every
+    committed artifact cell carries its own uncertainty (VERDICT r3
+    weak #1: no more single-number cells below the relay noise floor).
+
+    The two loop lengths are timed INTERLEAVED per rep (k1, k2, k1, k2,
+    ...) so slow relay drift cancels within each paired marginal rather
+    than biasing all of one K's reps.  Returns::
+
+        {"time_s": median_of_marginals, "min_s": ..., "max_s": ...,
+         "reps": reps, "k1": k1, "k2": k2, "negative_reps": int}
+
+    A cell whose ``min_s`` is negative (differential noise larger than
+    the signal) is below the noise floor at these loop lengths; callers
+    should raise (k1, k2) or annotate the cell.
+    """
+
+    def looped(K):
+        @jax.jit
+        def run(a0):
+            def body(i, a):
+                out = fn(a)
+                return a * (1.0 + 1e-24 * out.ravel()[0])
+
+            return lax.fori_loop(0, K, body, a0).ravel()[0]
+
+        return run
+
+    run1, run2 = looped(k1), looped(k2)
+    np.asarray(run1(x))  # compile + warm
+    np.asarray(run2(x))
+    margs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run1(x))
+        t1 = time.perf_counter()
+        np.asarray(run2(x))
+        t2 = time.perf_counter()
+        margs.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    margs.sort()
+    return {
+        "time_s": float(np.median(margs)),
+        "min_s": margs[0],
+        "max_s": margs[-1],
+        "reps": reps,
+        "k1": k1,
+        "k2": k2,
+        "negative_reps": sum(1 for m in margs if m <= 0),
+    }

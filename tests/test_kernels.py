@@ -317,3 +317,50 @@ def test_batched_kernel_unroll_bitwise(unroll):
         np.testing.assert_array_equal(
             np.asarray(x), np.asarray(y), err_msg=name
         )
+
+
+def test_batched_solve_kernel_matches_vmapped():
+    """Lane-batched substitution kernel (VERDICT r4 item 5) vs the
+    vmapped blocked-TRSM solve: same x (f32-level), vector and matrix
+    rhs, including a unit-group padded batch."""
+    from recursivefactorization_jl_tpu.ops.batched_kernel import (
+        batched_solve_pallas,
+    )
+    from recursivefactorization_jl_tpu.models.solve import _lu_solve_impl
+
+    B, n = 6, 16
+    A = RNG.rand(B, n, n).astype(np.float32) + 2 * np.eye(n, dtype=np.float32)
+    b = RNG.rand(B, n).astype(np.float32)
+    Bm = RNG.rand(B, n, 3).astype(np.float32)
+    f, ipiv, perm, info = batched_lu_pallas(
+        jnp.asarray(A), True, interpret=True, group=4
+    )
+    # kernel takes PRE-permuted rhs
+    bp = jnp.take_along_axis(jnp.asarray(b)[:, :, None],
+                             perm[:, :, None], axis=1)
+    x_k = batched_solve_pallas(f, bp, interpret=True, group=4)[:, :, 0]
+    x_ref = jax.vmap(
+        lambda fc, p, rhs: _lu_solve_impl(fc, p, rhs, True, 0)
+    )(f, perm, jnp.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(x_k), np.asarray(x_ref), rtol=0, atol=1e-4
+    )
+    # residual sanity in f64
+    for i in range(B):
+        r = np.max(np.abs(A[i].astype(np.float64) @
+                          np.asarray(x_k)[i].astype(np.float64) - b[i]))
+        assert r < 1e-3, (i, r)
+    # matrix rhs
+    Bp = jnp.take_along_axis(jnp.asarray(Bm), perm[:, :, None], axis=1)
+    X_k = batched_solve_pallas(f, Bp, interpret=True, group=4)
+    X_ref = jax.vmap(
+        lambda fc, p, rhs: _lu_solve_impl(fc, p, rhs, True, 0)
+    )(f, perm, jnp.asarray(Bm))
+    np.testing.assert_allclose(
+        np.asarray(X_k), np.asarray(X_ref), rtol=0, atol=1e-4
+    )
+    # unroll tail path (n not divisible by unroll handled statically)
+    x_u = batched_solve_pallas(f, bp, interpret=True, group=4, unroll=3)
+    np.testing.assert_allclose(
+        np.asarray(x_u)[:, :, 0], np.asarray(x_k), rtol=0, atol=1e-6
+    )

@@ -160,7 +160,7 @@ def test_blocked_recursive_tail():
     # the global 1-based column, same as LAPACK
     A = rand_mat((130, 130), np.float32)
     A[:, 100] = 0
-    Ft = rf.lu(jnp.asarray(A), True, config=cfg_tail)
+    Ft = rf.lu(jnp.asarray(A), True, config=cfg_tail, check=False)
     _, _, info_sp = scipy.linalg.lapack.sgetrf(A)
     assert int(Ft.info) == info_sp
 
@@ -185,7 +185,9 @@ def test_singular_info(pivot, dtype):
         A = rand_mat((s, s), dtype)
         j = RNG.randint(0, s)
         A[:, j] = 0
-        F = rf.lu(jnp.asarray(A), pivot)
+        # check=False mirrors the reference's own singularity tests
+        # (ref test/runtests.jl:57-62 pass check=false)
+        F = rf.lu(jnp.asarray(A), pivot, check=False)
         info = int(F.info)
         if pivot:
             _, _, info_sp = getrf(A)
@@ -195,7 +197,7 @@ def test_singular_info(pivot, dtype):
             assert info == -(j + 1), (info, j, s)
         check_lu(A, F, pivot)
 
-        Fb = rf.lu(jnp.asarray(A), pivot, config=BLOCKED16)
+        Fb = rf.lu(jnp.asarray(A), pivot, config=BLOCKED16, check=False)
         assert int(Fb.info) == info, (int(Fb.info), info)
 
 
@@ -316,6 +318,108 @@ def test_check_raises():
     assert int(F.info) == 3
 
 
+def test_check_auto_semantics():
+    """check='auto' (the default, matching the reference's check=Val(true)
+    default at src/lu.jl:63-64): raises on a singular factorization
+    outside jit, silently skips the host sync under tracing."""
+    import jax
+
+    A = np.eye(5)
+    A[2, 2] = 0.0
+    # default = 'auto': concrete call raises like the reference
+    with pytest.raises(rf.SingularMatrixError):
+        rf.lu(jnp.asarray(A))
+    with pytest.raises(rf.SingularMatrixError):
+        rf.solve(jnp.asarray(A), jnp.ones(5))
+
+    # under jit tracing, 'auto' skips the check and traces fine
+    @jax.jit
+    def traced(A):
+        return rf.lu(A).factors
+
+    f = traced(jnp.asarray(A))
+    assert f.shape == (5, 5)
+
+    # check=True under tracing is impossible -> descriptive error
+    @jax.jit
+    def traced_strict(A):
+        return rf.lu(A, check=True).factors
+
+    with pytest.raises(ValueError, match="jit"):
+        traced_strict(jnp.asarray(A))
+
+    with pytest.raises(ValueError, match="check"):
+        rf.lu(jnp.asarray(np.eye(3)), check="always")
+
+    # nonsingular matrices sail through every mode
+    B = jnp.asarray(np.eye(5) + 0.1)
+    for mode in (True, False, "auto"):
+        assert int(rf.lu(B, check=mode).info) == 0
+
+
+def test_strict_info_delegated_path():
+    """info-contract closure on the delegated (platform-kernel) path
+    (VERDICT r3 item 7): checked concrete calls re-derive info with the
+    package's own elimination scan when the delegated U diagonal looks
+    numerically singular, restoring parity with LAPACK getrf."""
+    from recursivefactorization_jl_tpu.models import lu as lu_mod
+
+    cfg = rf.LUConfig(xla_threshold=64)  # force the delegated route on CPU
+    assert rf.dispatch_route((32, 32), jnp.float32, True, cfg) == "xla"
+
+    # exactly-singular input: checked call raises through the xla route
+    A = rand_mat((32, 32), np.float32)
+    A[:, 10] = 0
+    with pytest.raises(rf.SingularMatrixError):
+        rf.lu(jnp.asarray(A), config=cfg, check=True)
+    _, _, info_sp = scipy.linalg.lapack.sgetrf(A)
+    F = rf.lu(jnp.asarray(A), config=cfg, check=False)
+    # (unchecked info on the delegated path and LAPACK usually agree;
+    # the strict scan is the guarantee for checked calls)
+    _, _, _, strict = lu_mod.jax.jit(
+        lu_mod.unblocked_lu, static_argnums=1
+    )(jnp.asarray(A), True)
+    assert int(strict) == info_sp
+
+    # denormal pivot: the suspect trigger fires and the strict scan's
+    # verdict matches the PLATFORM's arithmetic.  XLA backends may run
+    # flush-to-zero (measured on this stack: f32 1e-40 == 0 is True),
+    # in which case a subnormal pivot IS zero for every subsequent op
+    # (1/pivot would be inf) and flagging it singular is the correct,
+    # elimination-faithful answer; on subnormal-preserving platforms it
+    # must agree with sgetrf (info=0).
+    B = np.eye(32, dtype=np.float32)
+    B[7, 7] = 1e-40  # f32 subnormal
+    _, _, info_sp = scipy.linalg.lapack.sgetrf(B)
+    assert info_sp == 0  # LAPACK (non-FTZ) keeps it
+    ftz = bool(jnp.asarray(np.float32(1e-40)) == 0)
+    if ftz:
+        with pytest.raises(rf.SingularMatrixError, match="step 8"):
+            rf.lu(jnp.asarray(B), config=cfg, check=True)
+        FB = rf.lu(jnp.asarray(B), config=cfg, check=False)
+    else:
+        FB = rf.lu(jnp.asarray(B), config=cfg, check=True)  # no raise
+        assert int(FB.info) == 0
+    assert lu_mod._strict_info_suspect(FB.factors, 32)
+
+    # fabricated divergence: factors whose diagonal was rounded to a
+    # tiny nonzero where the elimination order gives an exact zero —
+    # _strict_info overrides the exact-zero derivation with the scan
+    C = np.eye(8, dtype=np.float32)
+    C[3, 3] = 0.0
+    fake = np.eye(8, dtype=np.float32)
+    fake[3, 3] = 1e-39
+    info = lu_mod._strict_info(
+        jnp.asarray(C), jnp.asarray(fake), jnp.int32(0), True, cfg
+    )
+    assert int(info) == 4
+
+    # well-conditioned matrices never trigger the re-derivation
+    D = rf.lu(jnp.asarray(rand_mat((32, 32), np.float32) + 4 * np.eye(32)),
+              config=cfg, check=True)
+    assert not lu_mod._strict_info_suspect(D.factors, 32)
+
+
 def test_matrix_rhs_solve():
     A = rand_mat((40, 40), np.float64)
     B = rand_mat((40, 3), np.float64)
@@ -386,7 +490,8 @@ def test_complex_blocked_schedule(pivot):
     A = rand_mat((80, 80), np.complex128)
     A[:, 30] = 0
     F = rf.lu(
-        jnp.asarray(A), config=rf.LUConfig(panel_width=16, small_threshold=8)
+        jnp.asarray(A), config=rf.LUConfig(panel_width=16, small_threshold=8),
+        check=False,
     )
     _, _, info_sp = scipy.linalg.lapack.zgetrf(A)
     assert int(F.info) == info_sp
@@ -417,7 +522,7 @@ def test_xla_escape_hatch():
     # derived info: zero column
     A = rand_mat((20, 20), np.float64)
     A[:, 4] = 0
-    F = rf.lu(jnp.asarray(A), config=cfg)
+    F = rf.lu(jnp.asarray(A), config=cfg, check=False)
     _, _, info_sp = scipy.linalg.lapack.dgetrf(A)
     assert int(F.info) == info_sp
     # above the threshold: our kernels again

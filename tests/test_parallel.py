@@ -320,6 +320,79 @@ def test_tp_lu_solve_matrix_rhs_and_padding():
     np.testing.assert_allclose(X, X1, rtol=0, atol=1e-9)
 
 
+def test_tp_collective_count_canary():
+    """Regression canary for the TP kernel's communication volume
+    (VERDICT r4 item 8): the factorization kernel issues exactly ONE
+    psum (panel broadcast) per stage loop body, independent of D — a
+    change that adds per-panel collectives (e.g. a factors re-broadcast
+    or an accidental replication of A) shows up here as a changed
+    all-reduce count in the lowered HLO before any perf run could
+    notice."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from recursivefactorization_jl_tpu.parallel.blockcyclic import (
+        _tp_lu_kernel,
+    )
+
+    n, w = 256, 32
+    counts = {}
+    for D in (2, 4, 8):
+        mesh = mesh_1d("tp", D)
+        kernel = functools.partial(
+            _tp_lu_kernel, axis="tp", n=n, w=w, D=D, pivot=True,
+            pallas_panels=False, panel_micro=32, panel_unroll=1,
+        )
+        shard_fn = jax.shard_map(
+            kernel, mesh=mesh, in_specs=P(None, "tp"),
+            out_specs=(P(None, "tp"), P(), P(), P()),
+        )
+        hlo = jax.jit(shard_fn).lower(
+            jax.ShapeDtypeStruct((n, n), jnp.float32)
+        ).compile().as_text()
+        counts[D] = hlo.count("all-reduce-start") or hlo.count(
+            "all-reduce("
+        )
+    # one psum per stage body; 4 shrinking stages by default
+    assert len(set(counts.values())) == 1, counts
+    assert counts[8] <= 8, counts  # 4 stages, tolerate fused pairs
+
+
+def test_tp_lu_solve_trans():
+    """Distributed transpose solve (VERDICT r3 item 8): trans='T'
+    substitutes through the transposed block-cyclic factors and
+    un-permutes the result; parity with the single-device trans solve
+    and with np.linalg.solve(A.T, b), incl. the padding path."""
+    mesh = mesh_1d("tp", 4)
+    w = 8
+    for n in (48, 50):  # 50 exercises identity padding
+        A = RNG.rand(n, n)
+        b = RNG.rand(n)
+        res = rf.tp_lu(jnp.asarray(A), mesh, "tp", panel_width=w)
+        xt = np.asarray(
+            rf.tp_lu_solve(res, jnp.asarray(b), mesh, "tp",
+                           panel_width=w, trans="T")
+        )
+        np.testing.assert_allclose(A.T @ xt, b, atol=1e-9)
+        x1 = np.asarray(rf.lu_solve(res, jnp.asarray(b), trans="T"))
+        np.testing.assert_allclose(xt, x1, rtol=0, atol=1e-9)
+        # "H" == "T" for real dtypes
+        xh = np.asarray(
+            rf.tp_lu_solve(res, jnp.asarray(b), mesh, "tp",
+                           panel_width=w, trans="H")
+        )
+        np.testing.assert_allclose(xh, xt, rtol=0, atol=0)
+    # no-pivot trans solve skips both permutations
+    n = 48
+    A = RNG.rand(n, n) + n * np.eye(n)
+    b = RNG.rand(n)
+    res = rf.tp_lu(jnp.asarray(A), mesh, "tp", panel_width=w, pivot=False)
+    xt = np.asarray(
+        rf.tp_lu_solve(res, jnp.asarray(b), mesh, "tp",
+                       panel_width=w, trans=1)
+    )
+    np.testing.assert_allclose(A.T @ xt, b, atol=1e-9)
+
+
 def test_tp_lu_solve_accepts_single_device_factorization():
     """The solver only needs an LU result object — one computed on a
     single device distributes the same way."""
