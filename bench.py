@@ -192,14 +192,18 @@ def main() -> None:
         rng.standard_normal((BATCH_B, BATCH_N, BATCH_N)), dtype=jnp.float32
     )
 
+    # round-4: the default schur_precision is 'auto' (bf16x3 at this N
+    # on the TPU f32 blocked path — passes the reference residual gate,
+    # see LUConfig); 'ours' is the DEFAULT path a user gets, and the
+    # explicit-f32 arm keeps the full-precision comparison visible.
     cfg = rf.default_config()
-    cfg_bf16x3 = rf.LUConfig(schur_precision="bf16x3")
+    cfg_f32 = rf.LUConfig(schur_precision="float32")
 
     variants = {
         "ours": (lambda a: _dispatch_factor(a, True, cfg)[0], A),
         "xla": (lambda a: jax.scipy.linalg.lu_factor(a)[0], A),
-        "ours_bf16x3": (
-            lambda a: _dispatch_factor(a, True, cfg_bf16x3)[0], A
+        "ours_f32full": (
+            lambda a: _dispatch_factor(a, True, cfg_f32)[0], A
         ),
         "ours_batched": (
             lambda a: rf.batched_lu_factor_perm(a, True)[0], Ab
@@ -232,9 +236,9 @@ def main() -> None:
             "xla_ms": res["xla_batched"][0] * 1e3,
             "speedup": res["xla_batched"][0] / res["ours_batched"][0],
         },
-        "bf16x3": {
-            "median_s": res["ours_bf16x3"][0],
-            "speedup_vs_f32": t_ours / res["ours_bf16x3"][0],
+        "f32full": {
+            "median_s": res["ours_f32full"][0],
+            "default_speedup_vs_f32full": res["ours_f32full"][0] / t_ours,
         },
     }
     with open("bench_details.json", "w") as fh:

@@ -74,6 +74,7 @@ def blocked_lu_physical(
     if m < n:
         raise ValueError("blocked_lu_physical requires m >= n")
     w = config.resolved_panel_width(m, n, jnp.dtype(A.dtype).itemsize)
+    schur_prec = config.resolved_schur_precision(min(m, n), A.dtype)
     used = jnp.zeros((1, m), jnp.float32)
     info = jnp.int32(0)
     prows = []
@@ -108,9 +109,7 @@ def blocked_lu_physical(
                 preferred_element_type=A.dtype,
             )
             A = A.at[:, s + ws :].set(
-                schur_update(
-                    A[:, s + ws :], Lscr, U12, config.schur_precision
-                )
+                schur_update(A[:, s + ws :], Lscr, U12, schur_prec)
             )
         s += ws
 
@@ -199,6 +198,7 @@ def blocked_lu(
         return jnp.concatenate([FL, U1R], axis=1), ipiv, perm, info
 
     config, w = resolve_blocked_schedule(m, n, A.dtype, pivot, config)
+    schur_prec = config.resolved_schur_precision(minmn, A.dtype)
     ipiv = jnp.zeros((minmn,), jnp.int32)
     perm = jnp.arange(m, dtype=jnp.int32)
     info = jnp.int32(0)
@@ -278,7 +278,7 @@ def blocked_lu(
                     A[s + ws :, s + ws :],
                     A[s + ws :, s : s + ws],
                     U12,
-                    config.schur_precision,
+                    schur_prec,
                 )
             )
         s += ws

@@ -62,10 +62,17 @@ class LUConfig:
     # footprint ~3x panel bytes), eliminating every per-panel dispatch
     # and HBM round-trip of the blocked schedule (round 3).
     small_threshold: int = 2048
-    # 'float32' (6-pass HIGHEST) | 'bf16x3' (3-pass HIGH) | 'bf16'
-    # (single-pass) : compute precision of the Schur-complement matmul
-    # (accumulation is always f32).  See ops/schur.py.
-    schur_precision: str = "float32"
+    # 'auto' | 'float32' (6-pass HIGHEST) | 'bf16x3' (3-pass HIGH) |
+    # 'bf16' (single-pass) : compute precision of the Schur-complement
+    # matmul (accumulation is always f32).  See ops/schur.py.
+    # 'auto' (round-4 default) resolves to bf16x3 on the TPU f32
+    # blocked path at minmn >= AUTO_BF16X3_MIN and float32 everywhere
+    # else: bf16x3 passes the reference's own residual gate
+    # (scaled resid ~5 vs the 20*n*eps gate's ~20, measured on chip at
+    # n=4096 — test_bf16x3_schur_residual_on_chip pins it) and is
+    # measured 1.41-1.51x vs XLA at 4096 against f32's 1.29-1.46x.
+    # Callers needing bit-level f32 Schur accuracy pin 'float32'.
+    schur_precision: str = "auto"
     # 'auto' | 'pallas' | 'xla' : kernel backend. 'auto' = Pallas on TPU,
     # pure-XLA elsewhere (the f32/f64 fast path vs generic fallback split of
     # reference src/lu.jl:107-118).
@@ -177,18 +184,49 @@ class LUConfig:
             return None
         return self.tail_threshold
 
-    # measured on v5e (round 3, fori3 whole-matrix kernel vs XLA lu;
-    # unroll=2 + micro='auto'): 0.85x at n=512, ~1.1x at 1024
-    # (micro=64: 0.60 ms vs XLA 0.64-0.77), 1.25x at 2048 — delegate
-    # below the first measured win.  The dispatcher compares
-    # `minmn <= threshold`, so 1023 means: platform kernel through
-    # n=1023, this package's whole-matrix kernel from n=1024 up.
-    # (Unmeasured 513..1023 band delegates; @512 ours is 0.85x.)
-    AUTO_XLA_THRESHOLD = 1023
+    # Round-4 calibration (perf/results_r04_band.json): ONE session,
+    # interleaved per-rep marginals, rf_whole (current defaults) vs
+    # xla_lu over the WHOLE band 512..2048 — rf/xla speedup 0.72@512,
+    # 0.76@640, 0.90@768, 0.93@896, 0.93@1024, 0.97@1152, 0.97@1280,
+    # 1.01@1536, 1.08@1792, 1.19@2048.  Monotone rise, crossover
+    # ~1500: delegate through 1535, this package's whole-matrix kernel
+    # from n=1536 (tie) up.  Supersedes round 3's 1023, which was
+    # calibrated from two endpoints: that session measured the kernel
+    # at 0.60 ms @1024 vs a bimodal XLA 0.64-0.77; this session the
+    # same two binaries measured 0.79 vs 0.73 (XLA not bimodal) — at
+    # the tie region, cross-session drift exceeds the margin, so the
+    # threshold sits at the first size whose win holds within-session.
+    # The dispatcher compares `minmn <= threshold`.
+    AUTO_XLA_THRESHOLD = 1535
 
     # micro=64 band of the 'auto' micro resolution (whole-matrix only).
     AUTO_MICRO_WIDE_LO = 1024
     AUTO_MICRO_WIDE_HI = 2048  # exclusive
+
+    # minmn from which 'auto' schur_precision picks bf16x3 (f32 TPU
+    # blocked path only).  4096: the measured-win regime; below it the
+    # default path is the whole-matrix Pallas kernel, which has no
+    # XLA-level Schur updates for this knob to touch anyway.
+    AUTO_BF16X3_MIN = 4096
+
+    def resolved_schur_precision(self, minmn: int, dtype, tpu=None) -> str:
+        """Schur-matmul precision for a factorization of min dim
+        ``minmn``.  Explicit values pass through; 'auto' resolves
+        bf16x3 only where measured to win on chip (see the field
+        docstring).  ``tpu`` overrides backend detection for tests."""
+        if self.schur_precision != "auto":
+            return self.schur_precision
+        import jax.numpy as jnp
+
+        if tpu is None:
+            tpu = is_tpu_backend()
+        if (
+            tpu
+            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            and minmn >= self.AUTO_BF16X3_MIN
+        ):
+            return "bf16x3"
+        return "float32"
 
     def resolved_panel_micro(self, m: int, w: int) -> int:
         """Micro-panel width for a panel-kernel call on an (m, w) block.

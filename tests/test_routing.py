@@ -133,6 +133,25 @@ class TestResolvedTailThreshold:
         assert LUConfig(tail_threshold=None).resolved_tail_threshold() is None
 
 
+class TestResolvedSchurPrecision:
+    def test_auto_bf16x3_band(self):
+        # bf16x3 only on the TPU f32 blocked path at minmn >= 4096
+        assert CFG.resolved_schur_precision(4096, jnp.float32, tpu=True) == "bf16x3"
+        assert CFG.resolved_schur_precision(8192, jnp.float32, tpu=True) == "bf16x3"
+
+    def test_auto_f32_everywhere_else(self):
+        assert CFG.resolved_schur_precision(4095, jnp.float32, tpu=True) == "float32"
+        assert CFG.resolved_schur_precision(2048, jnp.float32, tpu=True) == "float32"
+        assert CFG.resolved_schur_precision(4096, jnp.float64, tpu=True) == "float32"
+        assert CFG.resolved_schur_precision(4096, jnp.complex64, tpu=True) == "float32"
+        assert CFG.resolved_schur_precision(4096, jnp.float32, tpu=False) == "float32"
+
+    def test_explicit_passthrough(self):
+        for p in ("float32", "bf16x3", "bf16"):
+            cfg = LUConfig(schur_precision=p)
+            assert cfg.resolved_schur_precision(8192, jnp.float32, tpu=True) == p
+
+
 # ---------------------------------------------------------------------------
 # _use_pallas backend gate
 # ---------------------------------------------------------------------------
@@ -264,11 +283,13 @@ class TestDispatchRoute:
             ((512, 512), jnp.complex64, True, True, "complex-unblocked"),
             ((4096, 4096), jnp.complex64, True, True, "complex-blocked"),
             ((130, 132), jnp.complex128, True, True, "complex-blocked"),
-            # the delegation band: platform kernel through n=1023 on the
-            # TPU f32 pivoted path, package kernels from 1024 up
+            # the delegation band: platform kernel through n=1535 on the
+            # TPU f32 pivoted path (round-4 whole-band calibration,
+            # perf/results_r04_band.json), package kernels from 1536 up
             ((512, 512), jnp.float32, True, True, "xla"),
-            ((1023, 1023), jnp.float32, True, True, "xla"),
-            ((1024, 1024), jnp.float32, True, True, "whole"),
+            ((1024, 1024), jnp.float32, True, True, "xla"),
+            ((1535, 1535), jnp.float32, True, True, "xla"),
+            ((1536, 1536), jnp.float32, True, True, "whole"),
             ((2048, 2048), jnp.float32, True, True, "whole"),
             ((2049, 2049), jnp.float32, True, True, "blocked"),
             ((4096, 4096), jnp.float32, True, True, "blocked"),
@@ -280,8 +301,10 @@ class TestDispatchRoute:
             ((512, 512), jnp.bfloat16, True, True, "whole"),
             ((512, 512), jnp.float32, True, False, "whole"),
             ((4096, 4096), jnp.float64, True, True, "blocked"),
-            # fat non-delegated shapes go blocked (whole needs m >= n)
-            ((1024, 2048), jnp.float32, True, True, "blocked"),
+            # fat shapes delegate by minmn under the threshold...
+            ((1024, 2048), jnp.float32, True, True, "xla"),
+            # ...and go blocked above it (whole needs m >= n)
+            ((2048, 4096), jnp.float32, True, True, "blocked"),
         ],
     )
     def test_default_config(self, shape, dtype, pivot, tpu, expect):

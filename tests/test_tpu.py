@@ -140,12 +140,15 @@ def test_fori_whole_lu_on_chip():
 
 
 @requires_tpu
-def test_default_lu_1024_on_chip():
-    """The DEFAULT path at n=1024 — newly promoted from platform
-    delegation to the in-package whole-matrix kernel (fori3, auto
-    micro=64, unroll 2; xla_threshold auto -> 1023).  Pins residual,
-    scipy ipiv parity, and permutation validity on the real chip."""
-    n = 1024
+def test_default_lu_first_in_package_size_on_chip():
+    """The DEFAULT path at the first non-delegated size — n=1536, just
+    above the round-4 whole-band delegation threshold (xla_threshold
+    auto -> 1535, perf/results_r04_band.json): the in-package
+    whole-matrix kernel (fori3, unroll 2).  Pins residual, scipy ipiv
+    parity, and permutation validity on the real chip; also asserts
+    n=1024 still factors correctly through the delegated route."""
+    n = 1536
+    assert rf.dispatch_route((n, n), jnp.float32, True, tpu=True) == "whole"
     A = RNG.standard_normal((n, n)).astype(np.float32)
     F = rf.lu(jnp.asarray(A))
     assert int(F.info) == 0
@@ -155,6 +158,15 @@ def test_default_lu_1024_on_chip():
 
     _, piv_sp = scipy.linalg.lu_factor(A)
     np.testing.assert_array_equal(np.asarray(F.ipiv), piv_sp)
+    # the delegated route below the threshold stays correct too
+    n2 = 1024
+    assert rf.dispatch_route((n2, n2), jnp.float32, True, tpu=True) == "xla"
+    A2 = RNG.standard_normal((n2, n2)).astype(np.float32)
+    F2 = rf.lu(jnp.asarray(A2))
+    assert int(F2.info) == 0
+    assert np_residual(A2, F2.factors, F2.p) < (
+        20 * n2 * np.finfo(np.float32).eps * np.max(np.abs(A2))
+    )
 
 
 @requires_tpu
