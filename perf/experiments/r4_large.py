@@ -47,8 +47,10 @@ def luflop(n):
 
 
 def check_resid(A, factor_fn, tag):
-    """Factor once eagerly, verify the reference residual gate."""
-    F, ipiv, perm, info = jax.device_get(factor_fn(A))
+    """Factor once (jitted — an eager _dispatch_factor call at this
+    size is hundreds of relay round-trips), verify the reference
+    residual gate."""
+    F, ipiv, perm, info = jax.device_get(jax.jit(factor_fn)(A))
     n = A.shape[0]
     An = np.asarray(A, np.float64)
     L = np.tril(F, -1).astype(np.float64) + np.eye(n)

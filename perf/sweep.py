@@ -172,6 +172,10 @@ def main() -> None:
     ap.add_argument("--batched-sizes", default="64",
                     help="matrix sizes for --batched (BASELINE names "
                          "16-128)")
+    ap.add_argument("--batched-solve", action="store_true",
+                    help="with --batched: also time the factor+solve "
+                         "pipelines end to end (lane solve kernel vs "
+                         "vmapped XLA lu_solve)")
     ap.add_argument("--inplace-compare", action="store_true",
                     help="add the lu-vs-lu! analog variant (explicit "
                          "copy before factoring)")
@@ -256,18 +260,36 @@ def main() -> None:
         from recursivefactorization_jl_tpu.parallel import (
             batched_lu_factor,
             batched_lu_factor_perm,
+            batched_lu_solve_perm,
         )
 
         for n in [int(s) for s in args.batched_sizes.split(",")]:
             A = jnp.asarray(
                 rng.standard_normal((B, n, n)), dtype=jnp.float32
             )
+            # rhs for the factor+solve pipelines (closure is fine: a
+            # (B, n) f32 rhs is ~2.5 MB at n=64 — far below the
+            # closure-as-HLO-constant compile blowup threshold)
+            bvec = jnp.asarray(
+                rng.standard_normal((B, n)), dtype=jnp.float32
+            )
+
+            def rf_pipe(a):
+                f, perm, info = batched_lu_factor_perm(a, True)
+                return batched_lu_solve_perm(f, perm, bvec)
+
+            def xla_pipe(a):
+                lu_, piv = jax.vmap(jax.scipy.linalg.lu_factor)(a)
+                return jax.vmap(
+                    lambda l, p, bb: jax.scipy.linalg.lu_solve((l, p), bb)
+                )(lu_, piv, bvec)
+
             # loop lengths scaled so the K2 body runs tens of ms: at
             # n=16 the whole 10k batch factors in ~0.13 ms and the
             # fixed (2, 8) pair sits below relay noise (a round-3
             # capture produced a NEGATIVE marginal there)
             bks = (20, 120) if n <= 32 else (2, 8)
-            for name, fn in {
+            fns = {
                 "rf_batched": lambda a: batched_lu_factor(a, True)[0],
                 "rf_batched_perm": lambda a: batched_lu_factor_perm(
                     a, True
@@ -275,16 +297,29 @@ def main() -> None:
                 "xla_batched": lambda a: jax.vmap(
                     jax.scipy.linalg.lu_factor
                 )(a)[0],
-            }.items():
-                t = best_time(fn, A, ks=bks)
+            }
+            if args.batched_solve:
+                # factor+solve END TO END (the reference's workload
+                # contract, test/runtests.jl:20-25): rf = lane factor
+                # kernel + lane substitution kernel; xla = vmapped
+                # lu_factor + lu_solve.  Solve-only cost = pipeline
+                # minus the factor-only row of the same capture.
+                fns["rf_factor_solve"] = rf_pipe
+                fns["xla_factor_solve"] = xla_pipe
+            for name, fn in fns.items():
+                st = best_stats(fn, A, ks=bks)
+                t = st["time_s"]
                 gf = B * luflop(n, n) / t / 1e9
                 print(
                     f"{name}\tB={B} n={n}\t{gf:.1f} GFLOP/s\t{t * 1e3:.1f} ms"
                 )
-                records.append(
-                    {"variant": name, "n": n, "batch": B,
-                     "dtype": "float32", "time_s": t, "gflops": gf}
-                )
+                rec = {"variant": name, "n": n, "batch": B,
+                       "dtype": "float32", "time_s": t, "gflops": gf,
+                       "spread_s": [st["min_s"], st["max_s"]],
+                       "reps": st["reps"]}
+                if st["negative_reps"]:
+                    rec["below_noise_floor_reps"] = st["negative_reps"]
+                records.append(rec)
 
     if args.solve:
         # end-to-end solve: permutation apply + unit-lower and upper

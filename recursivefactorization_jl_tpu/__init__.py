@@ -29,6 +29,17 @@ Public API (mirrors the reference's `lu/lu!` surface, functionally):
     butterfly_solve(ws)          -> x  (pivot-free RBT solve)
 """
 
+import sys as _sys
+
+# Mosaic's lowering of the composed blocked graphs recurses with program
+# size: at n=6144 (12 panels of (m, 512) fori kernels + tail) it
+# exceeds CPython's default 1000-frame limit with a RecursionError
+# mid-lowering (n<=4096 fits; first seen 2026-08-19 on jax 0.9).
+# Raise-only (never lower a user's higher limit): 20000 covers n=16384
+# with ample margin.
+if _sys.getrecursionlimit() < 20000:
+    _sys.setrecursionlimit(20000)
+
 from .models.lu import (
     LU,
     dispatch_route,

@@ -46,7 +46,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.config import is_tpu_backend
+from ..utils.config import is_tpu_backend, trace32
 
 # matrices per grid cell (lanes-major: keep a multiple of 128).
 # Measured on v5e at 10000x64x64 f32: G=128 12.4 ms, G=256 12.9 ms,
@@ -284,6 +284,7 @@ def _lane_kernel(a_ref, out_ref, piv_ref, perm_ref, info_ref, used_ref, *,
         perm_ref[:, :] = used_ref[:, :, :].reshape(m, G).astype(jnp.int32)
 
 
+@trace32
 def _call_lane_kernel(A: jax.Array, pivot: bool, swap: bool,
                       interpret, group: int, col_chunks: int = 1,
                       track_perm: bool = False, unroll: int = 1):
@@ -475,6 +476,7 @@ def _lane_solve_kernel(f_ref, b_ref, x_ref, *, unroll: int = 1):
 @functools.partial(
     jax.jit, static_argnames=("interpret", "group", "unroll")
 )
+@trace32
 def batched_solve_pallas(
     factors: jax.Array,
     b: jax.Array,

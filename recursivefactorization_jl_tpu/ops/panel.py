@@ -37,6 +37,7 @@ from ..utils.config import (
     FORI_VMEM_BUDGET_BYTES,
     LUConfig,
     is_tpu_backend,
+    trace32,
 )
 from .unblocked import unblocked_lu
 
@@ -822,6 +823,7 @@ def _panel_kernel_noswap(
 @functools.partial(
     jax.jit, static_argnames=("pivot", "interpret", "micro")
 )
+@trace32
 def panel_factor_noswap_pallas(
     panel: jax.Array,
     used0: jax.Array,
@@ -880,6 +882,7 @@ def panel_factor_noswap_pallas(
         "pivot", "interpret", "micro", "variant", "outer", "unroll"
     ),
 )
+@trace32
 def panel_factor_pallas(
     panel: jax.Array,
     pivot: bool,
@@ -1119,6 +1122,7 @@ def _offset_panel_kernel(
     jax.jit,
     static_argnames=("pivot", "interpret", "micro", "unroll"),
 )
+@trace32
 def offset_panel_factor_pallas(
     panel: jax.Array,
     ofs,

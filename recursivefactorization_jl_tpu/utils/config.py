@@ -304,6 +304,46 @@ def full_matmul_precision(fn):
     return wrapper
 
 
+def trace32(fn):
+    """Trace ``fn`` with 64-bit weak-literal promotion disabled.
+
+    Mosaic/TPU has no 64-bit types: when a user enables
+    ``jax_enable_x64`` (normal for f64 work — this package's own f64
+    sweep does it), the f32 Pallas kernels' Python int/float literals
+    weakly promote to i64/f64 during kernel tracing, and Mosaic's
+    unsupported-conversion helper recurses INFINITELY trying to lower
+    the convert — a RecursionError at jit-lower time for any matrix
+    size (measured 2026-08-19, jax 0.9, v5e).  Wrapping every Pallas
+    wrapper's trace in ``jax.enable_x64(False)`` pins the kernels'
+    literal promotion to 32-bit regardless of the process setting; the
+    kernels only ever receive 32-bit operands (routing guarantees it),
+    so array dtypes are unaffected.
+
+    The guard skips when the input itself is a 64-bit dtype (the
+    f64/c128 interpret-mode paths of the CPU test suite): disabling x64
+    there would truncate the kernel's own intermediates to 32-bit and
+    mismatch the 64-bit refs.  Such inputs never reach Mosaic (routing
+    sends them to interpret mode or pure-JAX paths)."""
+    import jax
+    import numpy as np
+
+    def _is64(a):
+        try:
+            dt = np.dtype(a.dtype)
+        except Exception:
+            return False
+        return dt.itemsize == 8 and dt.kind in "fiu" or dt == np.complex128
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if args and _is64(args[0]):
+            return fn(*args, **kwargs)
+        with jax.enable_x64(False):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def is_tpu_backend() -> bool:
     import jax
 

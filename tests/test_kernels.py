@@ -364,3 +364,39 @@ def test_batched_solve_kernel_matches_vmapped():
     np.testing.assert_allclose(
         np.asarray(x_u)[:, :, 0], np.asarray(x_k), rtol=0, atol=1e-6
     )
+
+
+def test_kernels_under_x64_mode():
+    """jax_enable_x64 regression (round 4): with x64 on, weak Python
+    literals inside the Pallas kernels promoted to i64/f64 and Mosaic's
+    conversion helper recursed infinitely at lowering (RecursionError
+    at ANY size on chip).  Every Pallas wrapper now traces under
+    jax.enable_x64(False) (utils/config.py trace32), so results and
+    dtypes must be identical with and without the process-wide flag."""
+    import jax
+
+    B, n = 3, 12
+    A = RNG.rand(B, n, n).astype(np.float32)
+    base_f, base_piv, base_perm, base_info = jax.device_get(
+        batched_lu_pallas(jnp.asarray(A), True, interpret=True, group=4)
+    )
+    from recursivefactorization_jl_tpu.ops.panel import panel_factor_pallas
+
+    pbase = jax.device_get(
+        panel_factor_pallas(jnp.asarray(A[0]), True, interpret=True,
+                            micro=4)
+    )
+    with jax.enable_x64(True):
+        f, piv, perm, info = jax.device_get(
+            batched_lu_pallas(jnp.asarray(A), True, interpret=True,
+                              group=4)
+        )
+        p64 = jax.device_get(
+            panel_factor_pallas(jnp.asarray(A[0]), True, interpret=True,
+                                micro=4)
+        )
+    np.testing.assert_array_equal(f, base_f)
+    np.testing.assert_array_equal(piv, base_piv)
+    assert f.dtype == np.float32 and piv.dtype == np.int32
+    for a, b in zip(p64, pbase):
+        np.testing.assert_array_equal(a, b)
