@@ -17,7 +17,8 @@ def main() -> None:
     dst = sys.argv[2] if len(sys.argv) > 2 else src.rsplit(".", 1)[0] + ".png"
 
     records = [json.loads(line) for line in open(src) if line.strip()]
-    square = [r for r in records if "batch" not in r and "m" not in r
+    square = [r for r in records if "variant" in r and "n" in r
+              and "gflops" in r and "batch" not in r and "m" not in r
               and "abs_err" not in r]
     variants = sorted({r["variant"] for r in square})
 
