@@ -68,7 +68,9 @@ def main():
     do_f64 = "--no-f64" not in sys.argv
     rng = np.random.RandomState(123)
     records = [{"meta": "r4_large", "date": time.strftime("%Y-%m-%d"),
-                "backend": jax.default_backend(), "jax": jax.__version__}]
+                "backend": jax.default_backend(), "jax": jax.__version__,
+                "timing_compiler_options":
+                    {"xla_tpu_scoped_vmem_limit_kib": "32768"}}]
     log(f"=== r4_large {time.strftime('%H:%M:%S')} sizes={sizes} "
         f"backend={jax.default_backend()}")
 
@@ -92,8 +94,13 @@ def main():
         assert scaled < 100 and info == 0, (n, scaled, info)
         records.append({"kind": "resid", "n": n, "dtype": "float32",
                         "scaled_resid": scaled, "info": info})
+        # the fori-looped timing graph (not the package path) trips the
+        # 16 MiB scoped-vmem ceiling at n >= 6144; measured fix in
+        # r4_oomprobe.py.  Same options for every variant = fair A/B.
+        copts = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
         for name, fn in variants.items():
-            st = marginal_time_stats(fn, A, k1=1, k2=4, reps=4)
+            st = marginal_time_stats(fn, A, k1=1, k2=4, reps=4,
+                                     compiler_options=copts)
             gf = luflop(n) / st["time_s"] / 1e9
             log(f"n={n} {name}: {st['time_s']*1e3:.2f} ms "
                 f"[{st['min_s']*1e3:.2f},{st['max_s']*1e3:.2f}] "
@@ -114,7 +121,10 @@ def main():
         records.append({"kind": "resid", "n": n, "dtype": "float64",
                         "scaled_resid": scaled, "info": info})
         fn = lambda a: _dispatch_factor(a, True, rf.default_config())[0]
-        st = marginal_time_stats(fn, A, k1=1, k2=2, reps=3)
+        st = marginal_time_stats(
+            fn, A, k1=1, k2=2, reps=3,
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": "32768"},
+        )
         gf = luflop(n) / st["time_s"] / 1e9
         log(f"n={n} rf_default f64: {st['time_s']*1e3:.1f} ms "
             f"[{st['min_s']*1e3:.1f},{st['max_s']*1e3:.1f}] {gf:.0f} GFLOP/s")

@@ -90,7 +90,8 @@ def marginal_time(
 
 
 def marginal_time_stats(
-    fn: Callable, x, k1: int = 3, k2: int = 13, reps: int = 4
+    fn: Callable, x, k1: int = 3, k2: int = 13, reps: int = 4,
+    compiler_options: dict | None = None,
 ) -> dict:
     """Like :func:`marginal_time` but returns per-rep spread so every
     committed artifact cell carries its own uncertainty (VERDICT r3
@@ -106,10 +107,18 @@ def marginal_time_stats(
     A cell whose ``min_s`` is negative (differential noise larger than
     the signal) is below the noise floor at these loop lengths; callers
     should raise (k1, k2) or annotate the cell.
+
+    ``compiler_options`` forwards per-compile XLA flags.  Needed at
+    n >= 6144 on TPU: the fori-looped timing graph (NOT the package's
+    own jit path, which compiles fine) trips XLA's 16 MiB scoped-vmem
+    ceiling in a fused variadic reduce-window ("It should not be
+    possible to run out of scoped vmem - please file a bug against
+    XLA"); ``{"xla_tpu_scoped_vmem_limit_kib": "32768"}`` was measured
+    to fix the compile while lax.optimization_barrier was not
+    (perf/experiments/r4_oomprobe.py).
     """
 
     def looped(K):
-        @jax.jit
         def run(a0):
             def body(i, a):
                 out = fn(a)
@@ -117,7 +126,11 @@ def marginal_time_stats(
 
             return lax.fori_loop(0, K, body, a0).ravel()[0]
 
-        return run
+        if compiler_options is None:
+            return jax.jit(run)
+        return jax.jit(run).lower(x).compile(
+            compiler_options=compiler_options
+        )
 
     run1, run2 = looped(k1), looped(k2)
     np.asarray(run1(x))  # compile + warm
