@@ -32,6 +32,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.schur import FULL
 from ..utils.config import LUConfig, default_config, full_matmul_precision
 
 DEFAULT_SEED = 888  # ref src/butterflylu.jl:8 Val(888)
@@ -132,8 +133,8 @@ def materialize_uv(uv: jax.Array, M: int):
     )
     Bu1 = _butterfly_matrix(Ufull)
     Bv1 = _butterfly_matrix(Vfull)
-    U = jnp.dot(Bu2, Bu1, preferred_element_type=uv.dtype)
-    V = jnp.dot(Bv2, Bv1, preferred_element_type=uv.dtype)
+    U = jnp.dot(Bu2, Bu1, preferred_element_type=uv.dtype, precision=FULL)
+    V = jnp.dot(Bv2, Bv1, preferred_element_type=uv.dtype, precision=FULL)
     return U, V
 
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import trsm
+from ..ops.schur import FULL
 from ..utils.config import full_matmul_precision
 from ..utils.perm import invert_perm
 
@@ -109,12 +110,12 @@ def _lu_solve_refined_impl(factors, perm, A, b, pivoted, trans, iters):
     for _ in range(iters):
         xm = x if x.ndim > 1 else x[:, None]
         if trans == 0:
-            Ax = jnp.dot(A, xm, preferred_element_type=A.dtype)
+            Ax = jnp.dot(A, xm, preferred_element_type=A.dtype, precision=FULL)
         elif trans == 1:
-            Ax = jnp.dot(A.T, xm, preferred_element_type=A.dtype)
+            Ax = jnp.dot(A.T, xm, preferred_element_type=A.dtype, precision=FULL)
         else:
             Ax = jnp.dot(
-                jnp.conj(A).T, xm, preferred_element_type=A.dtype
+                jnp.conj(A).T, xm, preferred_element_type=A.dtype, precision=FULL
             )
         r = bm.astype(A.dtype) - Ax
         r = r if b.ndim > 1 else r[:, 0]

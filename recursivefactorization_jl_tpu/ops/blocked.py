@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..utils.config import FORI_VMEM_BUDGET_BYTES, LUConfig
 from .panel import _use_pallas, panel_factor, panel_factor_noswap_pallas
-from .schur import schur_update
+from .schur import FULL, schur_update
 from .trsm import solve_unit_lower, unit_lower_inverse
 
 
@@ -106,7 +106,7 @@ def blocked_lu_physical(
             L11 = Lscr[prow_l, :]                             # strict lower
             U12 = jnp.dot(
                 unit_lower_inverse(L11), R,
-                preferred_element_type=A.dtype,
+                preferred_element_type=A.dtype, precision=FULL,
             )
             A = A.at[:, s + ws :].set(
                 schur_update(A[:, s + ws :], Lscr, U12, schur_prec)
@@ -270,7 +270,7 @@ def blocked_lu(
             L11_inv = unit_lower_inverse(pf[:ws, :ws])
             U12 = jnp.dot(
                 L11_inv, A[s : s + ws, s + ws :],
-                preferred_element_type=A.dtype,
+                preferred_element_type=A.dtype, precision=FULL,
             )
             A = A.at[s : s + ws, s + ws :].set(U12)
             A = A.at[s + ws :, s + ws :].set(

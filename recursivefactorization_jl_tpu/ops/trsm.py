@@ -29,6 +29,7 @@ from jax import lax
 
 from ..utils.config import full_matmul_precision
 from ..utils.perm import vma_zero
+from .schur import FULL
 
 _BASE = 32
 
@@ -106,8 +107,8 @@ def _unit_lower_inv_batched(L: jax.Array) -> jax.Array:
             "pij,pjk->pik",
             iC,
             jnp.einsum("pij,pjk->pik", B, iA,
-                       preferred_element_type=L.dtype),
-            preferred_element_type=L.dtype,
+                       preferred_element_type=L.dtype, precision=FULL),
+            preferred_element_type=L.dtype, precision=FULL,
         )
         Xr = Xr.at[:, bs:, :bs].set(X21)
         X = (
@@ -136,8 +137,8 @@ def unit_lower_inverse(L: jax.Array) -> jax.Array:
     iC = unit_lower_inverse(L[h:, h:])
     B = jnp.tril(L, k=-1)[h:, :h]
     X21 = -jnp.dot(
-        iC, jnp.dot(B, iA, preferred_element_type=L.dtype),
-        preferred_element_type=L.dtype,
+        iC, jnp.dot(B, iA, preferred_element_type=L.dtype, precision=FULL),
+        preferred_element_type=L.dtype, precision=FULL,
     )
     top = jnp.concatenate(
         [iA, jnp.zeros((h, n - h), dtype=L.dtype)], axis=1
@@ -158,8 +159,8 @@ def upper_inverse(U: jax.Array) -> jax.Array:
     iC = upper_inverse(U[h:, h:])
     B = U[:h, h:]
     X12 = -jnp.dot(
-        iA, jnp.dot(B, iC, preferred_element_type=U.dtype),
-        preferred_element_type=U.dtype,
+        iA, jnp.dot(B, iC, preferred_element_type=U.dtype, precision=FULL),
+        preferred_element_type=U.dtype, precision=FULL,
     )
     top = jnp.concatenate([iA, X12], axis=1)
     bot = jnp.concatenate(
@@ -197,16 +198,16 @@ def solve_unit_lower(L: jax.Array, B: jax.Array, block: int = 128) -> jax.Array:
     n = L.shape[0]
     if n <= block:
         return jnp.dot(
-            unit_lower_inverse(L), B, preferred_element_type=B.dtype
+            unit_lower_inverse(L), B, preferred_element_type=B.dtype, precision=FULL
         )
     X = B
     for s, w in _blocks(n, block):
         Lii_inv = unit_lower_inverse(L[s : s + w, s : s + w])
-        Xi = jnp.dot(Lii_inv, X[s : s + w], preferred_element_type=B.dtype)
+        Xi = jnp.dot(Lii_inv, X[s : s + w], preferred_element_type=B.dtype, precision=FULL)
         X = X.at[s : s + w].set(Xi)
         if s + w < n:
             upd = jnp.dot(
-                L[s + w :, s : s + w], Xi, preferred_element_type=B.dtype
+                L[s + w :, s : s + w], Xi, preferred_element_type=B.dtype, precision=FULL
             )
             X = X.at[s + w :].add(-upd)
     return X
@@ -217,15 +218,15 @@ def solve_lower(L: jax.Array, B: jax.Array, block: int = 128) -> jax.Array:
     """Solve ``tril(L) @ X = B`` (left, lower, non-unit diag)."""
     n = L.shape[0]
     if n <= block:
-        return jnp.dot(lower_inverse(L), B, preferred_element_type=B.dtype)
+        return jnp.dot(lower_inverse(L), B, preferred_element_type=B.dtype, precision=FULL)
     X = B
     for s, w in _blocks(n, block):
         Lii_inv = lower_inverse(L[s : s + w, s : s + w])
-        Xi = jnp.dot(Lii_inv, X[s : s + w], preferred_element_type=B.dtype)
+        Xi = jnp.dot(Lii_inv, X[s : s + w], preferred_element_type=B.dtype, precision=FULL)
         X = X.at[s : s + w].set(Xi)
         if s + w < n:
             upd = jnp.dot(
-                L[s + w :, s : s + w], Xi, preferred_element_type=B.dtype
+                L[s + w :, s : s + w], Xi, preferred_element_type=B.dtype, precision=FULL
             )
             X = X.at[s + w :].add(-upd)
     return X
@@ -239,15 +240,15 @@ def solve_upper(U: jax.Array, B: jax.Array, block: int = 128) -> jax.Array:
     """
     n = U.shape[0]
     if n <= block:
-        return jnp.dot(upper_inverse(U), B, preferred_element_type=B.dtype)
+        return jnp.dot(upper_inverse(U), B, preferred_element_type=B.dtype, precision=FULL)
     X = B
     for s, w in reversed(_blocks(n, block)):
         Uii_inv = upper_inverse(U[s : s + w, s : s + w])
-        Xi = jnp.dot(Uii_inv, X[s : s + w], preferred_element_type=B.dtype)
+        Xi = jnp.dot(Uii_inv, X[s : s + w], preferred_element_type=B.dtype, precision=FULL)
         X = X.at[s : s + w].set(Xi)
         if s > 0:
             upd = jnp.dot(
-                U[:s, s : s + w], Xi, preferred_element_type=B.dtype
+                U[:s, s : s + w], Xi, preferred_element_type=B.dtype, precision=FULL
             )
             X = X.at[:s].add(-upd)
     return X
@@ -259,16 +260,16 @@ def solve_unit_upper(U: jax.Array, B: jax.Array, block: int = 128) -> jax.Array:
     n = U.shape[0]
     if n <= block:
         return jnp.dot(
-            unit_upper_inverse(U), B, preferred_element_type=B.dtype
+            unit_upper_inverse(U), B, preferred_element_type=B.dtype, precision=FULL
         )
     X = B
     for s, w in reversed(_blocks(n, block)):
         Uii_inv = unit_upper_inverse(U[s : s + w, s : s + w])
-        Xi = jnp.dot(Uii_inv, X[s : s + w], preferred_element_type=B.dtype)
+        Xi = jnp.dot(Uii_inv, X[s : s + w], preferred_element_type=B.dtype, precision=FULL)
         X = X.at[s : s + w].set(Xi)
         if s > 0:
             upd = jnp.dot(
-                U[:s, s : s + w], Xi, preferred_element_type=B.dtype
+                U[:s, s : s + w], Xi, preferred_element_type=B.dtype, precision=FULL
             )
             X = X.at[:s].add(-upd)
     return X

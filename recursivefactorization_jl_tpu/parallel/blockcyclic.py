@@ -50,6 +50,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.blocked import _offset_info
+from ..ops.schur import FULL
 from ..ops.trsm import unit_lower_inverse, upper_inverse
 from ..utils.config import LUConfig, default_config, full_matmul_precision
 from ..utils.perm import vma_zero
@@ -234,7 +235,7 @@ def _tp_lu_kernel(
             mask,
             jnp.einsum(
                 "ik,kbj->ibj", L11_inv, A12,
-                preferred_element_type=A_loc.dtype,
+                preferred_element_type=A_loc.dtype, precision=FULL,
             ),
             jnp.zeros_like(A12),
         )
@@ -244,7 +245,7 @@ def _tp_lu_kernel(
         # U12 is zero outside the mask and L21 zero at rows < sl+w, so
         # the full-shape product is a no-op everywhere it must be
         upd = jnp.einsum(
-            "ik,kbj->ibj", L21, U12, preferred_element_type=A_loc.dtype
+            "ik,kbj->ibj", L21, U12, preferred_element_type=A_loc.dtype, precision=FULL
         )
         A_loc = A_loc.at[h0:, qd * w :].set(
             (Ablk - upd).reshape(H, nbl_t * w)
