@@ -5,7 +5,10 @@ residual of each combination; then isolate the failing panel call
 standalone.
 
 RESOLVED (r4): every (n, w, variant) was BAD with identical residuals
-across variants AND across CPU/TPU — the corruption was the TRSM-apply
+across three different panel kernels (note: the apparent "CPU
+reproduction" was the sitecustomize ignoring JAX_PLATFORMS=cpu — those
+runs were also on chip; real CPU is clean) — the corruption was the
+TRSM-apply
 ``jnp.dot(L11_inv, A12)`` (ops/blocked.py) and 26 sibling products
 running at Precision.DEFAULT (single-pass bf16) whenever ``blocked_lu``
 was called directly, outside the public wrappers'

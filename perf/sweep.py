@@ -62,6 +62,19 @@ def _ks_for(n: int):
     return 2, 8
 
 
+def _copts_for(A) -> dict:
+    """Compiler options for a timing cell.  The fori-looped timing
+    GRAPH (not the package path itself) trips the default 16 MiB
+    scoped-vmem ceiling for big matrices — the TPU compile helper dies
+    with exit code 1 (measured: f32 from n=6144, f64 from n=4096; see
+    perf/experiments/r4_oomprobe.py).  Raising the limit for cells
+    >= 64 MiB keeps every variant on identical options = fair A/B."""
+    m, n = A.shape[-2:]
+    if m * n * jnp.dtype(A.dtype).itemsize >= 64 * 1024 * 1024:
+        return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    return {}
+
+
 def best_time(fn, A, reps: int = 3, ks=None) -> float:
     """Marginal (differential-K) loop-in-jit timing — single-call wall
     timing is meaningless through the TPU relay (fixed ~200 ms
@@ -69,7 +82,8 @@ def best_time(fn, A, reps: int = 3, ks=None) -> float:
     from recursivefactorization_jl_tpu.utils.profiling import marginal_time
 
     k1, k2 = ks if ks else _ks_for(min(A.shape[-2:]))
-    return marginal_time(fn, A, k1=k1, k2=k2, reps=reps)
+    return marginal_time(fn, A, k1=k1, k2=k2, reps=reps,
+                         compiler_options=_copts_for(A) or None)
 
 
 def best_stats(fn, A, reps: int = 4, ks=None) -> dict:
@@ -80,7 +94,8 @@ def best_stats(fn, A, reps: int = 4, ks=None) -> dict:
     )
 
     k1, k2 = ks if ks else _ks_for(min(A.shape[-2:]))
-    return marginal_time_stats(fn, A, k1=k1, k2=k2, reps=reps)
+    return marginal_time_stats(fn, A, k1=k1, k2=k2, reps=reps,
+                               compiler_options=_copts_for(A) or None)
 
 
 def defaults_stamp() -> dict:

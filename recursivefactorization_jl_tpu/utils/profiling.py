@@ -53,13 +53,16 @@ def timed(fn: Callable, *args, reps: int = 3):
 
 
 def marginal_time(
-    fn: Callable, x, k1: int = 3, k2: int = 13, reps: int = 4
+    fn: Callable, x, k1: int = 3, k2: int = 13, reps: int = 4,
+    compiler_options: dict | None = None,
 ) -> float:
     """Differential in-jit loop timing of ``fn(x) -> array``.
 
     ``fn`` must return an array whose [0, 0] element depends on the
     computation; the loop carry multiplies ``x`` by (1 + 1e-24 * out[0,0]),
     numerically a no-op in f32 but a data dependence XLA cannot fold.
+    ``compiler_options`` forwards per-compile XLA flags (the timing
+    loop graph needs a raised scoped-vmem limit for big matrices).
     """
 
     # x is an ARGUMENT of the jit, never a closure: a closed-over
@@ -79,6 +82,10 @@ def marginal_time(
     ts = []
     for K in (k1, k2):
         run = looped(K)
+        if compiler_options is not None:
+            run = run.lower(x).compile(
+                compiler_options=compiler_options
+            )
         np.asarray(run(x))  # compile + warm
         best = float("inf")
         for _ in range(reps):

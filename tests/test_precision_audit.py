@@ -10,7 +10,8 @@ full_matmul_precision), which masked DEFAULT-precision dots on the
 public path while every *direct* internal caller — the TP block-cyclic
 kernel, perf probes, downstream users of ops.blocked — silently got
 bf16 TRSM applies (measured scaled resid ~2300 at n=512/w=128, info=0,
-identical on CPU and chip; the r4_tp_parity_probe finding).
+identical across panel variants; the r4_tp_parity_probe finding —
+TPU-only: real CPU f32 dots are full-precision at DEFAULT).
 
 The package rule is therefore: every full-precision product carries an
 EXPLICIT ``precision=`` (ops/schur.py FULL); ambient context is a

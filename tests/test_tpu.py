@@ -403,6 +403,43 @@ def test_tp_lu_pallas_panels_on_chip():
 
 
 @requires_tpu
+def test_direct_blocked_lu_full_precision_on_chip():
+    """Regression pin for the round-4 DEFAULT-precision corruption
+    (docs/ROUND4.md §10): ``blocked_lu`` called DIRECTLY — outside the
+    public wrappers' full_matmul_precision context — must still satisfy
+    the residual gate on chip (its TRSM/Schur products carry explicit
+    precision=FULL), and the degenerate D=1 ``tp_lu_factor`` must
+    produce factors BITWISE equal to the plain blocked schedule's
+    (same pivot decisions, same arithmetic; measured equal 2026-08-19
+    post-fix, max delta 1.8e2 pre-fix)."""
+    from jax.sharding import Mesh
+    from recursivefactorization_jl_tpu.ops.blocked import blocked_lu
+    from recursivefactorization_jl_tpu.parallel.blockcyclic import (
+        tp_lu_factor,
+    )
+
+    n, w = 1024, 128
+    A = RNG.standard_normal((n, n)).astype(np.float32)
+    cfg = rf.LUConfig(panel_width=w, tail_threshold=None, small_threshold=0)
+    F, ipiv, perm, info = jax.device_get(
+        jax.jit(lambda a: blocked_lu(a, True, cfg))(jnp.asarray(A))
+    )
+    assert int(info) == 0
+    scaled = np_residual(A, F, perm) / (
+        n * np.finfo(np.float32).eps * np.max(np.abs(A))
+    )
+    assert scaled < 20, f"direct blocked_lu lost full precision: {scaled}"
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("tp",))
+    Ftp, ipivtp, infotp = tp_lu_factor(
+        jnp.asarray(A), mesh, "tp", panel_width=w,
+        config=rf.LUConfig(tp_panel_backend="pallas"),
+    )
+    np.testing.assert_array_equal(np.asarray(ipivtp), ipiv)
+    np.testing.assert_array_equal(np.asarray(Ftp), F)
+
+
+@requires_tpu
 def test_blocked_lu_8192_on_chip():
     """The n >= 8192 regime (VERDICT r4 item 1): the framework's own
     scale claim — the 100 MiB fori budget keeps w=512 panels to m~16k
