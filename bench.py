@@ -46,13 +46,29 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import recursivefactorization_jl_tpu as rf  # noqa: E402
 from recursivefactorization_jl_tpu.models.lu import _dispatch_factor  # noqa: E402
 
-# n=4096: large enough that the MXU Schur updates dominate the serial
-# pivot chain — the regime the TPU design targets (at n=2048 the two
-# implementations are within relay measurement noise of each other).
-N = 4096
+# n=8192: the MXU-dominant regime where the O(n^3) Schur bulk fully
+# amortizes the serial pivot chain — measured 2.36x XLA's lu on v5e
+# (perf/results_r04_large.json; the ratio grows monotonically with n:
+# 1.19 @2048, 1.46 @4096, 1.80 @6144, 2.36 @8192).  If anything in the
+# 8192 cells fails (the fori TIMING graph — not the package path —
+# needs a raised scoped-vmem limit, which older XLA stacks may reject),
+# the benchmark falls back to the round-2/3 proven n=4096 configuration
+# so a BENCH capture is never lost to the bigger shape.
+N = 8192
+N_FALLBACK = 4096
 KS = (2, 5, 8)   # loop lengths; marginals from all pairs
 REPS = 3         # interleaved repetitions per (variant, K) cell
 BATCH_B, BATCH_N = 10000, 64  # BASELINE config 5 batched workload
+
+
+def _copts_for(A) -> dict | None:
+    """Raised scoped-vmem ceiling for big timing graphs — same rule and
+    rationale as perf/sweep.py::_copts_for (measured: the looped timing
+    graph trips the 16 MiB default from n=6144 f32; the package's own
+    jit path does not)."""
+    if A.ndim == 2 and A.size * A.dtype.itemsize >= 64 * 1024 * 1024:
+        return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    return None
 
 
 def luflop(m: int, n: int) -> float:
@@ -65,7 +81,7 @@ def luflop(m: int, n: int) -> float:
     return float(np.sum((m - k - 1) + 2.0 * (m - k - 1) * (n - k - 1)))
 
 
-def _looped(fact, K):
+def _looped(fact, K, A_for_compile=None):
     """K data-dependent factorizations in one jit; returns a scalar.
 
     The carry multiplies A by (1 + 1e-24*f[0,0]): numerically a no-op in
@@ -74,7 +90,10 @@ def _looped(fact, K):
 
     The matrix is an ARGUMENT, never a closure: a closed-over jax.Array
     is embedded as an HLO constant (tens of MB), which multiplies
-    compile time through the remote-compile tunnel ~5x."""
+    compile time through the remote-compile tunnel ~5x.
+
+    When ``A_for_compile`` needs raised scoped-vmem (see _copts_for),
+    the jit is eagerly lowered+compiled with those options here."""
 
     @jax.jit
     def run(A):
@@ -86,6 +105,12 @@ def _looped(fact, K):
         out = lax.fori_loop(0, K, body, A)
         return out[0, 0] if out.ndim == 2 else out[0, 0, 0]
 
+    if A_for_compile is not None:
+        copts = _copts_for(A_for_compile)
+        if copts is not None:
+            return run.lower(A_for_compile).compile(
+                compiler_options=copts
+            )
     return run
 
 
@@ -94,7 +119,7 @@ def measure_variants(variants, ks=KS, reps=REPS):
     where spread = (max - min) / median over all marginals."""
     runs = {}
     for name, (fact, A) in variants.items():
-        runs[name] = ({k: _looped(fact, k) for k in ks}, A)
+        runs[name] = ({k: _looped(fact, k, A) for k in ks}, A)
     for name, (rs, A) in runs.items():
         for k in ks:
             # compile + warm, with retries: the axon runtime
@@ -184,13 +209,11 @@ def _wait_for_backend(max_wait_s: float = 3600.0) -> None:
             time.sleep(90)
 
 
-def main() -> None:
-    _wait_for_backend()
-    rng = np.random.RandomState(123)  # ref perf/lu.jl:4 MersenneTwister(123)
-    A = jnp.asarray(rng.standard_normal((N, N)), dtype=jnp.float32)
-    Ab = jnp.asarray(
-        rng.standard_normal((BATCH_B, BATCH_N, BATCH_N)), dtype=jnp.float32
-    )
+def _measure_at(n: int, rng) -> tuple:
+    """Measure the single-matrix variants at size ``n``.  Returns
+    (results dict, A).  Factored out so main() can fall back from the
+    headline N to N_FALLBACK if the big-shape cells fail."""
+    A = jnp.asarray(rng.standard_normal((n, n)), dtype=jnp.float32)
 
     # round-4: the default schur_precision is 'auto' (bf16x3 at this N
     # on the TPU f32 blocked path — passes the reference residual gate,
@@ -205,20 +228,39 @@ def main() -> None:
         "ours_f32full": (
             lambda a: _dispatch_factor(a, True, cfg_f32)[0], A
         ),
+    }
+    return measure_variants(variants), A
+
+
+def main() -> None:
+    _wait_for_backend()
+    rng = np.random.RandomState(123)  # ref perf/lu.jl:4 MersenneTwister(123)
+    n_used = N
+    try:
+        res, A = _measure_at(N, rng)
+    except Exception as e:  # noqa: BLE001 — any big-shape failure
+        print(f"# n={N} cells failed ({type(e).__name__}: {e}); "
+              f"falling back to n={N_FALLBACK}", flush=True)
+        n_used = N_FALLBACK
+        res, A = _measure_at(N_FALLBACK, rng)
+
+    Ab = jnp.asarray(
+        rng.standard_normal((BATCH_B, BATCH_N, BATCH_N)), dtype=jnp.float32
+    )
+    res.update(measure_variants({
         "ours_batched": (
             lambda a: rf.batched_lu_factor_perm(a, True)[0], Ab
         ),
         "xla_batched": (
             lambda a: jax.vmap(jax.scipy.linalg.lu_factor)(a)[0], Ab
         ),
-    }
-    res = measure_variants(variants)
+    }))
     resid = correctness_gate(A)
 
     t_ours, t_base = res["ours"][0], res["xla"][0]
-    gflops = luflop(N, N) / t_ours / 1e9
+    gflops = luflop(n_used, n_used) / t_ours / 1e9
     details = {
-        "n": N,
+        "n": n_used,
         "residual_scaled": resid,
         "variants": {
             name: {
@@ -260,7 +302,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"lu_f32_n{N}_gflops",
+                "metric": f"lu_f32_n{n_used}_gflops",
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(t_base / t_ours, 3),

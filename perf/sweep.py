@@ -29,10 +29,16 @@ import jax
 import jax.numpy as jnp
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-jax.config.update(
-    "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache_tpu")
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if "--no-cache" not in sys.argv:
+    # Persistent compile cache: big win through the remote-compile
+    # tunnel, but entries compiled while the relay is in its sick state
+    # (UNIMPLEMENTED window) poison every later hit — the reader fails
+    # with the same UNIMPLEMENTED at deserialization.  --no-cache
+    # bypasses it for recovery runs (see docs/ROUND4.md §3 C64 notes).
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache_tpu")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, _REPO)
 
@@ -121,10 +127,16 @@ def defaults_stamp() -> dict:
 
 def make_matrix(rng, shape, dtype):
     if jnp.issubdtype(dtype, jnp.complexfloating):
-        return jnp.asarray(
-            rng.standard_normal(shape) + 1j * rng.standard_normal(shape),
-            dtype=dtype,
-        )
+        # Build complex arrays ON DEVICE from two real transfers: the
+        # axon relay intermittently reports UNIMPLEMENTED for complex
+        # host<->device transfers once the server has run large real
+        # programs (probed 2026-08-19: complex compute and real fetches
+        # keep working while complex fetches fail).  The timing loops
+        # return real scalars for the same reason (utils/profiling.py).
+        rdt = jnp.float32 if dtype == jnp.dtype(jnp.complex64) else jnp.float64
+        re = jnp.asarray(rng.standard_normal(shape), dtype=rdt)
+        im = jnp.asarray(rng.standard_normal(shape), dtype=rdt)
+        return jax.jit(jax.lax.complex)(re, im)
     return jnp.asarray(rng.standard_normal(shape), dtype=dtype)
 
 
@@ -137,9 +149,15 @@ def variants(dtype, inplace_compare: bool = False, whole: bool = False,
         "rf_default": lambda a: _dispatch_factor(
             a, True, rf.default_config()
         )[0],
-        # fully blocked (recursion-analog forced on, like threshold=4)
+        # fully blocked (recursion-analog forced on, like threshold=4).
+        # xla_threshold=None: without it this arm DELEGATES below the
+        # auto threshold (f32 <= 1535; c64 at every size) and times the
+        # same executable as xla_lu — which is what the rf_blocked rows
+        # of results_r04_smalln.json below n=512 did (harness bug found
+        # in round 4; those rows duplicate xla_lu, rf_whole is the real
+        # kernel arm there)
         "rf_blocked": lambda a: _dispatch_factor(
-            a, True, rf.LUConfig(small_threshold=0)
+            a, True, rf.LUConfig(small_threshold=0, xla_threshold=None)
         )[0],
     }
     if whole:
@@ -203,6 +221,10 @@ def main() -> None:
                     help="also sweep fat/tall rectangular shapes")
     ap.add_argument("--rbt", action="store_true",
                     help="also compare RBT pivot-free vs pivoted LU solve")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="skip the persistent compile cache (recovery "
+                         "from entries poisoned by a sick-relay window; "
+                         "handled at import time)")
     ap.add_argument("--solve", action="store_true",
                     help="also sweep the solve path (factor once + "
                          "triangular solves) vs XLA's lu_solve")
@@ -235,7 +257,19 @@ def main() -> None:
         A = make_matrix(rng, (n, n), dtype)
         row = [str(n)]
         for name, fn in vs.items():
-            st = best_stats(fn, A)
+            try:
+                st = best_stats(fn, A)
+            except Exception as e:  # noqa: BLE001 — one dead cell must
+                # not kill the whole artifact (the axon relay throws
+                # transient UNIMPLEMENTED after long sessions; a real
+                # per-dtype gap should land in the artifact as data)
+                row.append("ERR")
+                records.append({"variant": name, "n": n,
+                                "dtype": dtype.name,
+                                "error": f"{type(e).__name__}: {e}"[:300]})
+                print(f"# cell ({name}, {n}) failed: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+                continue
             t = st["time_s"]
             gf = luflop(n, n) / t / 1e9 if t > 0 else float("nan")
             row.append(f"{gf:.1f}")

@@ -214,7 +214,9 @@ def dispatch_route(
     * ``"generic"``   — masked pure-JAX unblocked loop (the generic
       fallback of ref src/lu.jl:117-118; also minmn == 0);
     * ``"complex-unblocked"`` / ``"complex-blocked"`` — complex dtypes
-      (no Pallas panel; blocked above small_threshold);
+      off the delegated path (no-pivot, C128, non-TPU; no Pallas panel,
+      blocked above small_threshold).  Pivoted C64 on TPU delegates to
+      the platform kernel at every size (round 4);
     * ``"xla"``       — platform ``lax.linalg.lu`` escape hatch (the
       stdlib-fallback analog of ref src/lu.jl:70-73);
     * ``"physical"``  — no-row-movement blocked schedule (opt-in);
@@ -235,13 +237,18 @@ def dispatch_route(
     is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
     if (not fast_dtype and not is_complex) or minmn == 0:
         return "generic"
+    xla_thresh = config.resolved_xla_threshold(dtype, tpu)
+    if xla_thresh is not None and pivot and minmn <= xla_thresh:
+        # Platform escape.  For f32 this covers the sub-crossover band
+        # (<= 1535); for c64 on TPU it covers every size — XLA's native
+        # C64 getrf beats this package's complex-blocked path (whose
+        # panels are the masked pure-JAX loop, not a Pallas kernel) at
+        # all measured sizes; see LUConfig.AUTO_XLA_THRESHOLD_C64.
+        return "xla"
     if is_complex:
         if m >= n and minmn <= config.small_threshold:
             return "complex-unblocked"
         return "complex-blocked"
-    xla_thresh = config.resolved_xla_threshold(dtype, tpu)
-    if xla_thresh is not None and pivot and minmn <= xla_thresh:
-        return "xla"
     if config.schedule == "physical" and m >= n:
         # the noswap panel kernel is f32 Mosaic on chip (interpret-mode
         # handles any dtype on CPU); other dtypes fall through to the

@@ -199,6 +199,18 @@ class LUConfig:
     # The dispatcher compares `minmn <= threshold`.
     AUTO_XLA_THRESHOLD = 1535
 
+    # Complex64 delegation threshold (round 4).  This package has no
+    # complex Pallas panel — complex panels run the masked pure-JAX
+    # loop, so the serial pivot chain costs roughly an order of
+    # magnitude more than the f32 Pallas chain, while XLA's own C64
+    # getrf is a native blocked TPU kernel.  Measured on chip
+    # (2026-08-19 v5e, interleaved marginals,
+    # perf/results_r04_c64.json): XLA wins at every measured size —
+    # see that artifact for the per-size ratios.  Delegate at every
+    # size: INT_MAX semantics (compared as `minmn <= threshold`).
+    # C128 never delegates (XLA's TPU lu is F32/C64-only).
+    AUTO_XLA_THRESHOLD_C64 = 1 << 30
+
     # micro=64 band of the 'auto' micro resolution (whole-matrix only).
     AUTO_MICRO_WIDE_LO = 1024
     AUTO_MICRO_WIDE_HI = 2048  # exclusive
@@ -252,6 +264,8 @@ class LUConfig:
                 tpu = is_tpu_backend()
             if tpu and dtype == jnp.dtype(jnp.float32):
                 return self.AUTO_XLA_THRESHOLD
+            if tpu and dtype == jnp.dtype(jnp.complex64):
+                return self.AUTO_XLA_THRESHOLD_C64
             return None
         return self.xla_threshold
 

@@ -24,6 +24,7 @@ from typing import Callable
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax import lax
 
 
@@ -75,7 +76,11 @@ def marginal_time(
                 out = fn(a)
                 return a * (1.0 + 1e-24 * out.ravel()[0])
 
-            return lax.fori_loop(0, K, body, a0).ravel()[0]
+            # REAL scalar out: a complex device->host fetch hits a
+            # relay-state-dependent UNIMPLEMENTED on the axon TPU
+            # backend (see perf/sweep.py make_matrix); jnp.real is
+            # a no-op for real dtypes
+            return jnp.real(lax.fori_loop(0, K, body, a0).ravel()[0])
 
         return run
 
@@ -131,7 +136,11 @@ def marginal_time_stats(
                 out = fn(a)
                 return a * (1.0 + 1e-24 * out.ravel()[0])
 
-            return lax.fori_loop(0, K, body, a0).ravel()[0]
+            # REAL scalar out: a complex device->host fetch hits a
+            # relay-state-dependent UNIMPLEMENTED on the axon TPU
+            # backend (see perf/sweep.py make_matrix); jnp.real is
+            # a no-op for real dtypes
+            return jnp.real(lax.fori_loop(0, K, body, a0).ravel()[0])
 
         if compiler_options is None:
             return jax.jit(run)

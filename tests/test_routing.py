@@ -278,10 +278,19 @@ class TestDispatchRoute:
             # generic fallback: non-fast non-complex dtypes, empty dims
             ((64, 64), jnp.float16, True, True, "generic"),
             ((0, 5), jnp.float32, True, True, "generic"),
-            # complex: unblocked to small_threshold, blocked above; fat
-            # complex goes blocked (its fat wrapper needs the TRSM tail)
-            ((512, 512), jnp.complex64, True, True, "complex-unblocked"),
-            ((4096, 4096), jnp.complex64, True, True, "complex-blocked"),
+            # pivoted c64 on TPU delegates at EVERY size (round 4:
+            # XLA's native C64 getrf beats the pure-JAX complex panels
+            # at all measured sizes, perf/results_r04_c64.json)
+            ((512, 512), jnp.complex64, True, True, "xla"),
+            ((4096, 4096), jnp.complex64, True, True, "xla"),
+            ((130, 132), jnp.complex64, True, True, "xla"),
+            # complex off the delegated path (no-pivot, C128, CPU):
+            # unblocked to small_threshold, blocked above; fat complex
+            # goes blocked (its fat wrapper needs the TRSM tail)
+            ((512, 512), jnp.complex64, False, True, "complex-unblocked"),
+            ((4096, 4096), jnp.complex64, False, True, "complex-blocked"),
+            ((512, 512), jnp.complex64, True, False, "complex-unblocked"),
+            ((4096, 4096), jnp.complex128, True, True, "complex-blocked"),
             ((130, 132), jnp.complex128, True, True, "complex-blocked"),
             # the delegation band: platform kernel through n=1535 on the
             # TPU f32 pivoted path (round-4 whole-band calibration,
@@ -331,6 +340,31 @@ class TestDispatchRoute:
         # the xla escape outranks physical (dispatch order)
         cfg2 = LUConfig(schedule="physical")
         assert dispatch_route((512, 512), jnp.float32, True, cfg2, tpu=True) == "xla"
+
+    def test_delegated_complex_shapes_and_solves(self):
+        # pivoted c64 on TPU delegates at every size (round 4); pin on
+        # CPU (explicit-int threshold is honored on any backend) that
+        # the delegated route handles square AND fat/tall complex
+        # shapes and that all three trans solves work on its factors
+        rng = np.random.RandomState(3)
+        cfg = LUConfig(xla_threshold=4096)
+        for shape in [(24, 24), (24, 32), (40, 24)]:
+            A = (rng.standard_normal(shape)
+                 + 1j * rng.standard_normal(shape)).astype(np.complex64)
+            F = rf.lu(jnp.asarray(A), config=cfg)
+            L, U, p = np.asarray(F.L), np.asarray(F.U), np.asarray(F.p)
+            assert np.max(np.abs(L @ U - A[p, :])) < 1e-5, shape
+            assert int(F.info) == 0
+        A = (rng.standard_normal((32, 32))
+             + 1j * rng.standard_normal((32, 32))).astype(np.complex64)
+        F = rf.lu(jnp.asarray(A), config=cfg)
+        b = jnp.asarray(
+            (rng.standard_normal(32)
+             + 1j * rng.standard_normal(32)).astype(np.complex64)
+        )
+        for tr, M in (("N", A), ("T", A.T), ("H", A.conj().T)):
+            x = np.asarray(rf.lu_solve(F, b, trans=tr))
+            assert np.max(np.abs(M @ x - np.asarray(b))) < 1e-4, tr
 
     def test_execution_matches_route(self):
         # the dispatcher executes what dispatch_route reports: factor a

@@ -63,7 +63,11 @@ def test_complex64_blocked_on_chip():
     A = (
         RNG.standard_normal((n, n)) + 1j * RNG.standard_normal((n, n))
     ).astype(np.complex64)
-    cfg = rf.LUConfig(panel_width=128, small_threshold=64)
+    # xla_threshold=None: pivoted c64 on TPU otherwise DELEGATES at
+    # every size (round 4) — this test pins the in-package complex
+    # blocked path; the delegated route is pinned separately below
+    cfg = rf.LUConfig(panel_width=128, small_threshold=64,
+                      xla_threshold=None)
     F = rf.lu(jnp.asarray(A), config=cfg)
     assert int(F.info) == 0
     f = np.asarray(F.factors)
@@ -71,6 +75,31 @@ def test_complex64_blocked_on_chip():
     U = np.triu(f)
     resid = np.max(np.abs(L @ U - A[np.asarray(F.p)]))
     assert resid < 20 * n * np.finfo(np.float32).eps * np.max(np.abs(A))
+
+
+@requires_tpu
+def test_complex64_delegated_default_on_chip():
+    """The DEFAULT pivoted c64 route on TPU is the platform escape at
+    every size (round 4, LUConfig.AUTO_XLA_THRESHOLD_C64): pin that the
+    delegated factors solve correctly and info == 0 on a
+    well-conditioned matrix."""
+    from recursivefactorization_jl_tpu.models.lu import dispatch_route
+
+    n = 384
+    assert dispatch_route((n, n), jnp.complex64, True, tpu=True) == "xla"
+    A = (
+        RNG.standard_normal((n, n)) + 1j * RNG.standard_normal((n, n))
+    ).astype(np.complex64)
+    F = rf.lu(jnp.asarray(A))
+    assert int(F.info) == 0
+    f = np.asarray(F.factors)
+    L = np.tril(f, -1) + np.eye(n)
+    U = np.triu(f)
+    resid = np.max(np.abs(L @ U - A[np.asarray(F.p)]))
+    assert resid < 20 * n * np.finfo(np.float32).eps * np.max(np.abs(A))
+    x = np.asarray(rf.lu_solve(F, jnp.asarray(A[:, -1])))
+    e = np.zeros(n); e[-1] = 1.0
+    assert np.max(np.abs(x - e)) < 100 * 20 * n * np.finfo(np.float32).eps
 
 
 @requires_tpu
