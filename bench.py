@@ -117,6 +117,8 @@ def _looped(fact, K, A_for_compile=None):
 def measure_variants(variants, ks=KS, reps=REPS):
     """variants: {name: (fact, A)}.  Returns {name: (median_s, spread)}
     where spread = (max - min) / median over all marginals."""
+    import sys
+
     runs = {}
     for name, (fact, A) in variants.items():
         runs[name] = ({k: _looped(fact, k, A) for k in ks}, A)
@@ -124,7 +126,11 @@ def measure_variants(variants, ks=KS, reps=REPS):
         for k in ks:
             # compile + warm, with retries: the axon runtime
             # intermittently fails executes with a transient
-            # UNIMPLEMENTED after long sessions
+            # UNIMPLEMENTED after long sessions.  Progress lines go to
+            # stderr (first compiles of the big shapes take minutes
+            # through the remote-compile tunnel; the stdout JSON
+            # contract is untouched).
+            t0 = time.perf_counter()
             for attempt in range(3):
                 try:
                     np.asarray(rs[k](A))
@@ -133,6 +139,8 @@ def measure_variants(variants, ks=KS, reps=REPS):
                     if attempt == 2:
                         raise
                     time.sleep(60)
+            print(f"# warm {name} K={k}: {time.perf_counter()-t0:.0f}s",
+                  file=sys.stderr, flush=True)
     times = {name: {k: [] for k in ks} for name in runs}
     for _ in range(reps):
         for name, (rs, A) in runs.items():  # interleaved
