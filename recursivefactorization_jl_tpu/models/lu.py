@@ -213,10 +213,18 @@ def dispatch_route(
     Returns one of:
     * ``"generic"``   — masked pure-JAX unblocked loop (the generic
       fallback of ref src/lu.jl:117-118; also minmn == 0);
+    * ``"promote"``   — half-precision inputs (bf16/f16): factor the
+      exact f32 promotion through the full fast-path dispatch (Pallas
+      kernels / platform delegation), then cast the factors back.  The
+      analog of the reference promoting nonstandard eltypes onto its
+      generic path (ref src/lu.jl:117-118) — except promotion costs
+      nothing here (bf16->f32 is exact; pivoting decisions are
+      identical) and keeps half inputs at fast-path speed;
     * ``"complex-unblocked"`` / ``"complex-blocked"`` — complex dtypes
-      off the delegated path (no-pivot, C128, non-TPU; no Pallas panel,
-      blocked above small_threshold).  Pivoted C64 on TPU delegates to
-      the platform kernel at every size (round 4);
+      with no Pallas kernel (C128, non-TPU; blocked above
+      small_threshold).  C64 on TPU takes the ``whole``/``blocked``
+      routes via the split-plane fori kernel (round 5) wherever it is
+      not delegated (see ``AUTO_XLA_THRESHOLD_C64``);
     * ``"xla"``       — platform ``lax.linalg.lu`` escape hatch (the
       stdlib-fallback analog of ref src/lu.jl:70-73);
     * ``"physical"``  — no-row-movement blocked schedule (opt-in);
@@ -232,11 +240,16 @@ def dispatch_route(
     fast_dtype = dtype in (
         jnp.dtype(jnp.float32),
         jnp.dtype(jnp.float64),
+    )
+    half_dtype = dtype in (
         jnp.dtype(jnp.bfloat16),
+        jnp.dtype(jnp.float16),
     )
     is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
-    if (not fast_dtype and not is_complex) or minmn == 0:
+    if minmn == 0 or (not fast_dtype and not is_complex and not half_dtype):
         return "generic"
+    if half_dtype:
+        return "promote"
     xla_thresh = config.resolved_xla_threshold(dtype, tpu)
     if xla_thresh is not None and pivot and minmn <= xla_thresh:
         # Platform escape.  For f32 this covers the sub-crossover band
@@ -246,6 +259,16 @@ def dispatch_route(
         # all measured sizes; see LUConfig.AUTO_XLA_THRESHOLD_C64.
         return "xla"
     if is_complex:
+        from ..ops.panel import _use_pallas_c64
+
+        if _use_pallas_c64(dtype, config, tpu):
+            # Native split-plane c64 Pallas path (round 5): same
+            # whole/blocked split as f32 — the fori-c64 kernel takes
+            # whole matrices to the VMEM bound and panels inside the
+            # blocked schedule above it.
+            if m >= n and minmn <= config.small_threshold:
+                return "whole"
+            return "blocked"
         if m >= n and minmn <= config.small_threshold:
             return "complex-unblocked"
         return "complex-blocked"
@@ -283,6 +306,15 @@ def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):
     if route == "generic":
         # Generic fallback — the analog of ref src/lu.jl:117-118.
         return unblocked_lu(A, pivot)
+    if route == "promote":
+        # Half-precision inputs: factor the exact f32 promotion on the
+        # fast path, round the factors back.  The pivot sequence and
+        # info are exactly those of elimination on the (exact) promoted
+        # values; only the stored factors round to half.
+        f, ipiv, perm, info = _dispatch_factor(
+            A.astype(jnp.float32), pivot, config
+        )
+        return f.astype(A.dtype), ipiv, perm, info
     if route == "complex-unblocked":
         return unblocked_lu(A, pivot)
     if route == "complex-blocked":

@@ -153,15 +153,76 @@ def lu_solve_refined(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("pivot", "config", "k"))
+@full_matmul_precision
+def _solve_fused_impl(A, B, pivot: bool, config, k: int):
+    """Fused factor + forward-substitution: factor ``[A | b]`` as ONE
+    fat LU.  Eliminating column j of the fat matrix applies exactly the
+    forward substitution to the appended columns (they trail behind
+    minmn = n, so they never pivot), leaving ``L^-1 P [A|b]`` — only
+    the upper solve remains.  On the whole-matrix route the rhs rides
+    in the VMEM-resident fori kernel (the per-boundary trailing update
+    covers it at near-zero marginal cost), so the serial pivot chain —
+    the single-matrix cost floor (docs/DESIGN.md lesson 2) — is paid
+    ONCE for factor+solve instead of factor + a separate blocked TRSM
+    sweep.  On the delegated route the platform's fat getrf does the
+    same.  Returns ``(x, factors, info)``."""
+    from .lu import _dispatch_factor, dispatch_route
+    from ..ops.panel import panel_factor
+    from ..utils.config import LANE
+
+    n = A.shape[0]
+    route = dispatch_route(A.shape, A.dtype, pivot, config)
+    if route == "whole":
+        # Pallas path: pad the appended block to a LANE multiple so
+        # every trailing-column slice in the kernel stays tile-aligned
+        # (zero columns forward-substitute to zero — discarded below).
+        kp = -(-k // LANE) * LANE
+        pad = jnp.zeros((n, kp - k), A.dtype)
+        Ab = jnp.concatenate([A, B, pad], axis=1)
+        f, _ipiv, _perm, info = panel_factor(Ab, pivot, config)
+    else:
+        Ab = jnp.concatenate([A, B], axis=1)
+        f, _ipiv, _perm, info = _dispatch_factor(Ab, pivot, config)
+    y = f[:, n : n + k]
+    x = trsm.solve_upper(f[:n, :n], y, config.trsm_block)
+    return x, f, info
+
+
 def solve(A: jax.Array, b: jax.Array, pivot: bool = True, *,
           trans=0, check="auto", config=None) -> jax.Array:
     """One-shot ``A \\ b``: factor then substitute.
 
     The reference leans on Julia's backslash (``lu(A) \\ b``); this is
-    that composition as one call — ``lu_solve(lu(A, pivot), b)`` with
-    the same ``trans``/``check``/``config`` knobs.  Factor explicitly
-    via :func:`~.lu.lu` instead when solving against the same matrix
-    more than once."""
-    from .lu import lu
+    that composition as one call.  Untransposed solves run FUSED —
+    ``[A | b]`` factors as one fat LU so the forward substitution falls
+    out of the factorization itself (see :func:`_solve_fused_impl`);
+    ``trans`` solves and explicit re-use compose ``lu`` + ``lu_solve``
+    instead.  Factor explicitly via :func:`~.lu.lu` when solving
+    against the same matrix more than once."""
+    from .lu import (
+        SingularMatrixError,
+        _check_info,
+        _resolve_check,
+        _strict_info,
+        default_config,
+        dispatch_route,
+        lu,
+        normalize_pivot,
+    )
 
-    return lu_solve(lu(A, pivot, check=check, config=config), b, trans)
+    trans = normalize_trans(trans)
+    pivot = normalize_pivot(pivot)
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    if trans != 0 or A.ndim != 2 or A.shape[0] != A.shape[1]:
+        return lu_solve(lu(A, pivot, check=check, config=config), b, trans)
+    cfg = config or default_config()
+    vec = b.ndim == 1
+    B = (b[:, None] if vec else b).astype(A.dtype)
+    x, f, info = _solve_fused_impl(A, B, pivot, cfg, B.shape[1])
+    if _resolve_check(check, info):
+        if dispatch_route(A.shape, A.dtype, pivot, cfg) == "xla":
+            info = _strict_info(A, f[:, : A.shape[0]], info, pivot, cfg)
+        _check_info(info, pivot)
+    return x[:, 0] if vec else x

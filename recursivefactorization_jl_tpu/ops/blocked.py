@@ -32,7 +32,12 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.config import FORI_VMEM_BUDGET_BYTES, LUConfig
-from .panel import _use_pallas, panel_factor, panel_factor_noswap_pallas
+from .panel import (
+    _use_pallas,
+    _use_pallas_c64,
+    panel_factor,
+    panel_factor_noswap_pallas,
+)
 from .schur import FULL, schur_update
 from .trsm import solve_unit_lower, unit_lower_inverse
 
@@ -213,7 +218,10 @@ def blocked_lu(
             and s > 0
             and tail is not None
             and n - s <= tail
-            and _use_pallas(A.dtype, config)
+            and (
+                _use_pallas(A.dtype, config)
+                or _use_pallas_c64(A.dtype, config)
+            )
             # whole-block VMEM residency gate (same bound as the fori
             # kernel's direct path in ops/panel.py panel_factor)
             and 3 * (m - s) * (n - s) * itemsize <= FORI_VMEM_BUDGET_BYTES

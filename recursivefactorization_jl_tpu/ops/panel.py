@@ -54,6 +54,22 @@ def _use_pallas(dtype, config: LUConfig, tpu=None) -> bool:
     return tpu and dtype == jnp.dtype(jnp.float32)
 
 
+def _use_pallas_c64(dtype, config: LUConfig, tpu=None) -> bool:
+    """Split-plane complex64 kernel gate: TPU + c64 + a fori variant
+    (the only c64 kernel class — round 5)."""
+    if config.backend == "xla":
+        return False
+    if dtype != jnp.dtype(jnp.complex64):
+        return False
+    if not config.panel_variant.startswith("fori"):
+        return False
+    if config.backend == "pallas":
+        return True
+    if tpu is None:
+        tpu = is_tpu_backend()
+    return tpu
+
+
 def panel_route(m: int, w: int, dtype, config: LUConfig, tpu=None) -> str:
     """Pure trace-time routing of a panel-kernel call on an (m, w)
     block (unit-testable; :func:`panel_factor` executes exactly this).
@@ -66,17 +82,21 @@ def panel_route(m: int, w: int, dtype, config: LUConfig, tpu=None) -> str:
       fori variants take ANY width directly while the whole panel fits
       the fori VMEM footprint (~3x panel bytes: aliased in/out +
       (micro+1, m) shadow);
+    * ``"pallas-c64"`` — split-plane complex64 fori kernel (round 5);
     * ``"unblocked"`` — masked pure-JAX loop (non-Pallas backends).
     """
     dtype = jnp.dtype(dtype)
     inner = config.inner_panel_width
+    c64 = _use_pallas_c64(dtype, config, tpu)
     fori_direct = (
         config.panel_variant.startswith("fori")
-        and _use_pallas(dtype, config, tpu)
+        and (_use_pallas(dtype, config, tpu) or c64)
         and 3 * m * w * dtype.itemsize <= FORI_VMEM_BUDGET_BYTES
     )
     if min(m, w) > inner and not fori_direct:
         return "split"
+    if c64:
+        return "pallas-c64"
     if _use_pallas(dtype, config, tpu):
         return "pallas"
     return "unblocked"
@@ -114,6 +134,13 @@ def panel_factor(
             micro=config.resolved_panel_micro(m, w),
             variant=config.panel_variant,
             outer=config.panel_outer,
+            unroll=config.panel_unroll,
+        )
+    if route == "pallas-c64":
+        return panel_factor_pallas_c64(
+            panel,
+            pivot,
+            micro=config.resolved_panel_micro(m, w),
             unroll=config.panel_unroll,
         )
     return unblocked_lu(panel, pivot)
@@ -949,6 +976,254 @@ def panel_factor_pallas(
         interpret=interpret,
         **extra,
     )(panel)
+    return out, piv, perm[:, 0], info[0]
+
+
+# ---------------------------------------------------------------------------
+# Complex64 split-plane fori kernel
+# ---------------------------------------------------------------------------
+
+
+def _panel_kernel_fori_c64(
+    are_ref,
+    aim_ref,
+    ore_ref,
+    oim_ref,
+    piv_ref,
+    perm_ref,
+    info_ref,
+    shre_ref,
+    shim_ref,
+    *,
+    pivot: bool,
+    micro: int,
+    unroll: int = 1,
+):
+    """Split-plane complex64 fori shadow panel kernel (round 5).
+
+    Mosaic has no complex types, so the panel lives as TWO f32 planes
+    (re, im) — every buffer of :func:`_panel_kernel_fori` is doubled
+    and each complex op expands to its 2-plane form; the kernel body
+    itself is pure f32.  Same architecture as the f32 fori kernel: the
+    current micro-panel transposed in VMEM shadows (lane = matrix row)
+    so the serial pivot chain is lane-parallel; the composed row
+    permutation rides as one extra shadow row of ``shre``.
+
+    Complex-specific pieces:
+    * pivot metric |re| + |im| (LAPACK cgetrf's CABS1 — cheaper than
+      the modulus on the VPU and the standard cgetrf semantics; the
+      reference's generic path uses Julia's ``abs`` = modulus, so
+      pivot ROWS may differ from the reference on contrived ties —
+      both satisfy the residual contract);
+    * scale step multiplies by conj(p)/|p|^2 (complex reciprocal);
+    * the rank-1 update and the micro-boundary TRSM/Schur expand to
+      4 real multiplies / 4 real MXU matmuls per complex product
+      (Karatsuba-3 measured no win at panel widths — the boundary
+      matmuls are skinny).
+
+    Zero-pivot (re == 0 AND im == 0): no swap, no scale, rank-1 still
+    runs, signed 1-based info — ref src/lu.jl:299-319 semantics.
+    """
+    m, w = ore_ref.shape
+    minmn = min(m, w)
+    f32 = jnp.float32
+    ore_ref[:, :] = are_ref[:, :]
+    oim_ref[:, :] = aim_ref[:, :]
+    info_ref[0] = 0
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    nsh = shre_ref.shape[0]  # micro + 1 (last shre row carries the perm)
+    subs = jax.lax.broadcasted_iota(jnp.int32, (nsh, 1), 0)
+    shre_ref[nsh - 1, :] = lanes[0, :].astype(f32)
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32, precision=hi)
+
+    def step(i, carry, p0, nb):
+        k = p0 + i
+        rre = shre_ref[pl.ds(i, 1), :]  # logical column k, lane-major
+        rim = shim_ref[pl.ds(i, 1), :]
+        if pivot:
+            cabs = jnp.where(
+                lanes >= k, jnp.abs(rre) + jnp.abs(rim), -jnp.inf
+            )
+            maxv = jnp.max(cabs)
+            kp = jnp.min(jnp.where(cabs == maxv, lanes, m))
+            kp = jnp.minimum(kp, m - 1).astype(jnp.int32)
+        else:
+            kp = jnp.asarray(k, jnp.int32)
+        piv_ref[k] = kp
+        is_kp = lanes == kp
+        pr = jnp.sum(jnp.where(is_kp, rre, 0.0))
+        pi = jnp.sum(jnp.where(is_kp, rim, 0.0))
+        nonzero = (pr != 0.0) | (pi != 0.0)
+
+        if pivot:
+
+            @pl.when(nonzero & (kp != k))
+            def _swap():
+                is_k = lanes == k
+                for oref in (ore_ref, oim_ref):
+                    rk = oref[pl.ds(k, 1), :]
+                    rkp = oref[pl.ds(kp, 1), :]
+                    oref[pl.ds(k, 1), :] = rkp
+                    oref[pl.ds(kp, 1), :] = rk
+                for sref in (shre_ref, shim_ref):
+                    sh = sref[:, :]
+                    ck = jnp.sum(jnp.where(is_k, sh, 0.0), axis=1,
+                                 keepdims=True)
+                    ckp = jnp.sum(jnp.where(is_kp, sh, 0.0), axis=1,
+                                  keepdims=True)
+                    sh = jnp.where(is_k, ckp, sh)
+                    sref[:, :] = jnp.where(is_kp, ck, sh)
+
+        # scale row i (post-swap values): multiply lanes > k by
+        # conj(p) / |p|^2; zero pivot -> no scale (raw values feed the
+        # rank-1 below, ref src/lu.jl:299-326)
+        rre = shre_ref[pl.ds(i, 1), :]
+        rim = shim_ref[pl.ds(i, 1), :]
+        d = pr * pr + pi * pi
+        dsafe = jnp.where(nonzero, d, 1.0)
+        ir = pr / dsafe
+        ii = -pi / dsafe
+        smask = (lanes > k) & nonzero
+        sre = jnp.where(smask, rre * ir - rim * ii, rre)
+        sim = jnp.where(smask, rre * ii + rim * ir, rim)
+        shre_ref[pl.ds(i, 1), :] = sre
+        shim_ref[pl.ds(i, 1), :] = sim
+
+        @pl.when(jnp.logical_not(nonzero) & (info_ref[0] == 0))
+        def _info():
+            val = (k + 1) if pivot else -(k + 1)
+            info_ref[0] = jnp.asarray(val, jnp.int32)
+
+        # rank-1 update of the remaining shadow rows: sh[j,:] -= u_j *
+        # lrow (complex), u_j = sh[j, lane k], lrow = scaled row i
+        lre = jnp.where(lanes > k, sre, 0.0)
+        lim = jnp.where(lanes > k, sim, 0.0)
+        is_k_l = lanes == k
+        shr = shre_ref[:, :]
+        shi = shim_ref[:, :]
+        ure = jnp.sum(jnp.where(is_k_l, shr, 0.0), axis=1, keepdims=True)
+        uim = jnp.sum(jnp.where(is_k_l, shi, 0.0), axis=1, keepdims=True)
+        rmask = (subs > i) & (subs < nb)
+        urm = jnp.where(rmask, ure, 0.0)
+        uimm = jnp.where(rmask, uim, 0.0)
+        shre_ref[:, :] = shr - (urm * lre - uimm * lim)
+        shim_ref[:, :] = shi - (urm * lim + uimm * lre)
+        return carry
+
+    def substitution_trsm(p0, p1, c0, c1):
+        """U[p0:p1, c0:c1) = L^-1 @ A by complex forward substitution."""
+        for i in range(p0, p1 - 1):
+            lre = ore_ref[i + 1 : p1, i].reshape(p1 - i - 1, 1)
+            lim = oim_ref[i + 1 : p1, i].reshape(p1 - i - 1, 1)
+            ure = ore_ref[i, c0:c1].reshape(1, c1 - c0)
+            uim = oim_ref[i, c0:c1].reshape(1, c1 - c0)
+            ore_ref[i + 1 : p1, c0:c1] -= lre * ure - lim * uim
+            oim_ref[i + 1 : p1, c0:c1] -= lre * uim + lim * ure
+
+    for p0 in range(0, minmn, micro):
+        p1 = min(p0 + micro, minmn)
+        nb = p1 - p0
+        shre_ref[:nb, :] = jnp.transpose(ore_ref[:, p0:p1])
+        shim_ref[:nb, :] = jnp.transpose(oim_ref[:, p0:p1])
+
+        ub = unroll if unroll > 1 and nb % unroll == 0 else 1
+        if ub > 1:
+
+            def body_u(j, carry, p0=p0, nb=nb):
+                c = carry
+                for t in range(ub):
+                    c = step(j * ub + t, c, p0, nb)
+                return c
+
+            jax.lax.fori_loop(0, nb // ub, body_u, 0)
+        else:
+            jax.lax.fori_loop(
+                0, nb, functools.partial(step, p0=p0, nb=nb), 0
+            )
+        ore_ref[:, p0:p1] = jnp.transpose(shre_ref[:nb, :])
+        oim_ref[:, p0:p1] = jnp.transpose(shim_ref[:nb, :])
+
+        if p1 < w:
+            substitution_trsm(p0, p1, p1, w)
+            if p1 < m:
+                # rank-nb complex Schur on the MXU: 4 real matmuls
+                Lre = ore_ref[p1:, p0:p1]
+                Lim = oim_ref[p1:, p0:p1]
+                Ure = ore_ref[p0:p1, p1:]
+                Uim = oim_ref[p0:p1, p1:]
+                ore_ref[p1:, p1:] -= mm(Lre, Ure) - mm(Lim, Uim)
+                oim_ref[p1:, p1:] -= mm(Lre, Uim) + mm(Lim, Ure)
+
+    perm_ref[:, :] = jnp.transpose(
+        shre_ref[nsh - 1 : nsh, :]
+    ).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pivot", "interpret", "micro", "unroll")
+)
+@trace32
+def panel_factor_pallas_c64(
+    panel: jax.Array,
+    pivot: bool,
+    interpret=None,
+    micro: int = 32,
+    unroll: int = 2,
+):
+    """Complex64 panel/whole-matrix LU via the split-plane fori kernel.
+
+    ``panel``: (m, w) complex64.  Returns ``(factors c64, piv (minmn,),
+    perm (m,), info)`` with the same conventions as
+    :func:`panel_factor_pallas`."""
+    m, w = panel.shape
+    minmn = min(m, w)
+    if interpret is None:
+        interpret = not is_tpu_backend()
+    are = jnp.real(panel).astype(jnp.float32)
+    aim = jnp.imag(panel).astype(jnp.float32)
+    kernel = functools.partial(
+        _panel_kernel_fori_c64, pivot=pivot, micro=micro, unroll=unroll
+    )
+    ore, oim, piv, perm, info = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, w), jnp.float32),
+            jax.ShapeDtypeStruct((m, w), jnp.float32),
+            jax.ShapeDtypeStruct((minmn,), jnp.int32),
+            jax.ShapeDtypeStruct((m, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((micro + 1, m), jnp.float32),
+            pltpu.VMEM((micro + 1, m), jnp.float32),
+        ],
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                min(
+                    120 * 1024 * 1024,
+                    max(3 * m * w * 8 + 4 * micro * m * 4, 1 << 24),
+                )
+            )
+        ),
+        interpret=interpret,
+    )(are, aim)
+    out = jax.lax.complex(ore, oim)
     return out, piv, perm[:, 0], info[0]
 
 

@@ -67,6 +67,42 @@ def _use_batched_pallas(dtype, m: int, n: int, config: LUConfig) -> bool:
     )
 
 
+def _use_batched_xla(dtype, pivot: bool, config: LUConfig, tpu=None) -> bool:
+    """Escape hatch for batches the lane kernels refuse (n > 128,
+    VMEM overflow): on TPU, the platform's batched ``lax.linalg.lu``
+    beats the vmapped masked pure-JAX loop by a wide margin at mid n
+    (see perf/results_r05_batched_mid.json), the same
+    delegate-to-the-platform principle as the single-matrix
+    sub-crossover band (ref src/lu.jl:70-73).  Pivoted
+    only (the platform kernel always pivots) and only dtypes its TPU
+    kernel supports (f32/c64 — f64/c128 are emulated or absent there).
+    ``tpu`` overrides backend detection for routing tests."""
+    if config.backend == "pallas":
+        return False
+    if tpu is None:
+        tpu = is_tpu_backend()
+    return (
+        tpu
+        and pivot
+        and jnp.dtype(dtype)
+        in (jnp.dtype(jnp.float32), jnp.dtype(jnp.complex64))
+    )
+
+
+def _batched_xla_lu(A: jax.Array):
+    """Batched platform LU with the delegated-path info derivation
+    (first EXACTLY-zero U diagonal; same limitation as the
+    single-matrix delegated route — see models/lu.py dispatch docs).
+    Returns ``(factors, ipiv, perm, info)``."""
+    f, ipiv, perm = jax.lax.linalg.lu(A)
+    minmn = min(A.shape[-2], A.shape[-1])
+    diag = jnp.diagonal(f, axis1=-2, axis2=-1)[..., :minmn]
+    zero = diag == 0
+    first = jnp.argmax(zero, axis=-1)
+    info = jnp.where(jnp.any(zero, axis=-1), first + 1, 0).astype(jnp.int32)
+    return f, ipiv.astype(jnp.int32), perm.astype(jnp.int32), info
+
+
 @functools.partial(jax.jit, static_argnames=("pivot", "config"))
 def batched_lu_factor(
     A: jax.Array,
@@ -85,6 +121,9 @@ def batched_lu_factor(
     B, m, n = A.shape
     if _use_batched_pallas(A.dtype, m, n, config):
         f, ipiv, _perm, info = batched_lu_pallas(A, pivot, with_perm=False)
+        return f, ipiv, info
+    if _use_batched_xla(A.dtype, pivot, config):
+        f, ipiv, _perm, info = _batched_xla_lu(A)
         return f, ipiv, info
     f, ipiv, _perm, info = jax.vmap(lambda a: unblocked_lu(a, pivot))(A)
     return f, ipiv, info
@@ -121,6 +160,9 @@ def batched_lu_factor_perm(
         return batched_lu_pallas_noswap(
             A, pivot, col_chunks=_PERM_NOSWAP_COL_CHUNKS
         )
+    if _use_batched_xla(A.dtype, pivot, config):
+        f, _ipiv, perm, info = _batched_xla_lu(A)
+        return f, perm, info
     f, _ipiv, perm, info = jax.vmap(lambda a: unblocked_lu(a, pivot))(A)
     return f, perm, info
 

@@ -400,3 +400,137 @@ def test_kernels_under_x64_mode():
     assert f.dtype == np.float32 and piv.dtype == np.int32
     for a, b in zip(p64, pbase):
         np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# complex64 split-plane fori kernel (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _c64_residual(A, f, perm):
+    A = np.asarray(A, dtype=np.complex128)
+    f = np.asarray(f, dtype=np.complex128)
+    m, n = f.shape
+    minmn = min(m, n)
+    L = np.tril(f[:, :minmn], -1) + np.eye(m, minmn)
+    U = np.triu(f[:minmn, :])
+    return np.max(np.abs(L @ U - A[np.asarray(perm), :]))
+
+
+@pytest.mark.parametrize("pivot", [True, False])
+@pytest.mark.parametrize(
+    "shape", [(32, 32, 8), (96, 32, 16), (64, 96, 32), (130, 130, 32)]
+)
+def test_c64_kernel_residual(pivot, shape):
+    """Split-plane c64 fori kernel vs the residual gate: square, tall,
+    fat and ragged shapes, both pivot modes."""
+    m, w, micro = shape
+    from recursivefactorization_jl_tpu.ops.panel import (
+        panel_factor_pallas_c64,
+    )
+
+    Anp = (RNG.standard_normal((m, w))
+           + 1j * RNG.standard_normal((m, w))).astype(np.complex64)
+    if not pivot:
+        mm = min(m, w)
+        Anp[:mm, :mm] += 4 * max(m, w) * np.eye(mm, dtype=np.complex64)
+    A = jnp.asarray(Anp)
+    f, piv, perm, info = jax.device_get(
+        panel_factor_pallas_c64(A, pivot, interpret=True, micro=micro)
+    )
+    assert f.dtype == np.complex64
+    assert int(info) == 0
+    assert sorted(np.asarray(perm)[: m]. tolist()) == list(range(m))
+    gate = 20 * max(m, w) * np.finfo(np.float32).eps * np.max(np.abs(Anp))
+    r = _c64_residual(Anp, f, perm)
+    assert r < (gate if pivot else 10 * np.sqrt(gate)), (shape, pivot, r)
+    if not pivot:
+        np.testing.assert_array_equal(piv, np.arange(min(m, w)))
+
+
+def test_c64_kernel_scipy_ipiv_parity():
+    """CABS1 pivoting matches LAPACK cgetrf's pivot sequence (scipy)."""
+    import scipy.linalg
+
+    from recursivefactorization_jl_tpu.ops.panel import (
+        panel_factor_pallas_c64,
+    )
+
+    n = 48
+    Anp = (RNG.standard_normal((n, n))
+           + 1j * RNG.standard_normal((n, n))).astype(np.complex64)
+    f, piv, perm, info = jax.device_get(
+        panel_factor_pallas_c64(jnp.asarray(Anp), True, interpret=True,
+                                micro=16)
+    )
+    _, piv_sp = scipy.linalg.lu_factor(Anp)
+    np.testing.assert_array_equal(piv, piv_sp)
+
+
+def test_c64_kernel_zero_pivot_info():
+    from recursivefactorization_jl_tpu.ops.panel import (
+        panel_factor_pallas_c64,
+    )
+
+    m, w = 64, 32
+    Anp = (RNG.standard_normal((m, w))
+           + 1j * RNG.standard_normal((m, w))).astype(np.complex64)
+    Anp[:, 7] = 0.0
+    f, piv, perm, info = jax.device_get(
+        panel_factor_pallas_c64(jnp.asarray(Anp), True, interpret=True,
+                                micro=16)
+    )
+    assert int(info) == 8
+    f2, _, _, info2 = jax.device_get(
+        panel_factor_pallas_c64(jnp.asarray(Anp), False, interpret=True,
+                                micro=16)
+    )
+    assert int(info2) == -8
+
+
+def test_c64_kernel_unroll_bitwise():
+    """unroll only regroups fori iterations — bitwise-identical."""
+    from recursivefactorization_jl_tpu.ops.panel import (
+        panel_factor_pallas_c64,
+    )
+
+    n = 64
+    Anp = (RNG.standard_normal((n, n))
+           + 1j * RNG.standard_normal((n, n))).astype(np.complex64)
+    f1, piv1, perm1, _ = jax.device_get(
+        panel_factor_pallas_c64(jnp.asarray(Anp), True, interpret=True,
+                                micro=16, unroll=1)
+    )
+    f2, piv2, perm2, _ = jax.device_get(
+        panel_factor_pallas_c64(jnp.asarray(Anp), True, interpret=True,
+                                micro=16, unroll=2)
+    )
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(piv1, piv2)
+    np.testing.assert_array_equal(perm1, perm2)
+
+
+def test_c64_blocked_dispatch_cpu_interpret():
+    """The c64 whole/blocked dispatch executed end to end with the
+    kernel forced on (backend='pallas' -> interpret on CPU): residual
+    + solve through the public API."""
+    import recursivefactorization_jl_tpu as rf
+
+    rng = np.random.RandomState(9)
+    for n, cfg in [
+        (96, rf.LUConfig(backend="pallas")),                      # whole
+        (80, rf.LUConfig(backend="pallas", small_threshold=32,
+                         panel_width=32)),                        # blocked
+    ]:
+        Anp = (rng.standard_normal((n, n))
+               + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+        route = rf.dispatch_route((n, n), jnp.complex64, True, cfg)
+        assert route == ("whole" if n == 96 else "blocked")
+        F = rf.lu(jnp.asarray(Anp), config=cfg)
+        assert int(F.info) == 0
+        gate = 20 * n * np.finfo(np.float32).eps * np.max(np.abs(Anp))
+        assert _c64_residual(Anp, F.factors, F.p) < gate, n
+        b = jnp.asarray((rng.standard_normal(n)
+                         + 1j * rng.standard_normal(n)).astype(np.complex64))
+        x = np.asarray(rf.lu_solve(F, b))
+        assert np.max(np.abs(Anp @ x - np.asarray(b))) < 200 * gate

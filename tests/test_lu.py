@@ -543,21 +543,46 @@ def test_empty_and_tiny():
 
 
 def test_one_shot_solve():
-    """rf.solve == lu_solve(lu(A), b) — the backslash analog."""
+    """rf.solve — the backslash analog.  Untransposed solves run FUSED
+    (factor [A|b] as one fat LU; the forward substitution falls out of
+    the elimination), so parity with the compose-it-yourself path is
+    numerical, not bitwise; trans solves compose lu + lu_solve
+    unfused."""
+    import jax
+
     rng = np.random.RandomState(11)
     A = jnp.asarray(rng.rand(40, 40))
     b = jnp.asarray(rng.rand(40))
     x = rf.solve(A, b)
-    np.testing.assert_array_equal(
-        np.asarray(x), np.asarray(rf.lu_solve(rf.lu(A), b))
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(rf.lu_solve(rf.lu(A), b)), atol=1e-11
     )
     np.testing.assert_allclose(
         np.asarray(A) @ np.asarray(x), np.asarray(b), atol=1e-10
     )
+    # matrix rhs through the fused path
+    Bm = jnp.asarray(rng.rand(40, 3))
+    Xm = rf.solve(A, Bm)
+    np.testing.assert_allclose(
+        np.asarray(A) @ np.asarray(Xm), np.asarray(Bm), atol=1e-10
+    )
+    # trans solves stay on the unfused composition (bitwise)
     xt = rf.solve(A, b, trans="T")
+    np.testing.assert_array_equal(
+        np.asarray(xt), np.asarray(rf.lu_solve(rf.lu(A), b, trans="T"))
+    )
     np.testing.assert_allclose(
         np.asarray(A).T @ np.asarray(xt), np.asarray(b), atol=1e-10
+    )
+    # no-pivot fused solve
+    xn = rf.solve(A + 40 * jnp.eye(40), b, pivot=False)
+    np.testing.assert_allclose(
+        np.asarray(A + 40 * jnp.eye(40)) @ np.asarray(xn),
+        np.asarray(b), atol=1e-9,
     )
     S = jnp.asarray(np.eye(8)).at[3, 3].set(0.0)
     with pytest.raises(rf.SingularMatrixError):
         rf.solve(S, jnp.ones(8), check=True)
+    # fused solve under jit traces (check='auto' skips the host sync)
+    xj = jax.jit(lambda a, rhs: rf.solve(a, rhs))(A, b)
+    np.testing.assert_allclose(np.asarray(xj), np.asarray(x), atol=1e-12)

@@ -265,6 +265,20 @@ class TestPanelRoute:
         # wide non-Pallas calls still split to inner-width sub-panels
         assert panel_route(512, 512, jnp.float32, CFG, tpu=False) == "split"
 
+    def test_c64_split_plane_kernel(self):
+        # c64 on TPU rides the split-plane fori kernel (round 5) —
+        # whole matrices to the 2-plane VMEM bound, splits above it;
+        # c128 has no kernel, CPU stays on the pure-JAX loop
+        assert panel_route(1024, 1024, jnp.complex64, CFG, tpu=True) == "pallas-c64"
+        assert panel_route(4096, 512, jnp.complex64, CFG, tpu=True) == "pallas-c64"
+        assert panel_route(4096, 4096, jnp.complex64, CFG, tpu=True) == "split"
+        assert panel_route(1024, 1024, jnp.complex128, CFG, tpu=True) == "split"
+        assert panel_route(256, 256, jnp.complex128, CFG, tpu=True) == "unblocked"
+        assert panel_route(256, 256, jnp.complex64, CFG, tpu=False) == "unblocked"
+        # the c64 kernel is fori-only: a static variant config skips it
+        cfg = LUConfig(panel_variant="shadow")
+        assert panel_route(256, 256, jnp.complex64, cfg, tpu=True) == "unblocked"
+
 
 # ---------------------------------------------------------------------------
 # top-level dispatch
@@ -275,20 +289,27 @@ class TestDispatchRoute:
     @pytest.mark.parametrize(
         "shape,dtype,pivot,tpu,expect",
         [
-            # generic fallback: non-fast non-complex dtypes, empty dims
-            ((64, 64), jnp.float16, True, True, "generic"),
+            # generic fallback: non-float non-complex dtypes, empty dims
             ((0, 5), jnp.float32, True, True, "generic"),
+            # half-precision inputs promote to the f32 fast path
+            # (exact cast, factors rounded back — VERDICT r4 weak #4:
+            # bf16 was classified fast but had no fast path)
+            ((64, 64), jnp.float16, True, True, "promote"),
+            ((512, 512), jnp.bfloat16, True, True, "promote"),
+            ((4096, 4096), jnp.bfloat16, True, True, "promote"),
             # pivoted c64 on TPU delegates at EVERY size (round 4:
             # XLA's native C64 getrf beats the pure-JAX complex panels
             # at all measured sizes, perf/results_r04_c64.json)
             ((512, 512), jnp.complex64, True, True, "xla"),
             ((4096, 4096), jnp.complex64, True, True, "xla"),
             ((130, 132), jnp.complex64, True, True, "xla"),
-            # complex off the delegated path (no-pivot, C128, CPU):
-            # unblocked to small_threshold, blocked above; fat complex
-            # goes blocked (its fat wrapper needs the TRSM tail)
-            ((512, 512), jnp.complex64, False, True, "complex-unblocked"),
-            ((4096, 4096), jnp.complex64, False, True, "complex-blocked"),
+            # c64 off the delegated path on TPU takes the split-plane
+            # Pallas kernel through the whole/blocked routes (round 5)
+            ((512, 512), jnp.complex64, False, True, "whole"),
+            ((4096, 4096), jnp.complex64, False, True, "blocked"),
+            # complex with no Pallas kernel (C128, CPU): unblocked to
+            # small_threshold, blocked above; fat complex goes blocked
+            # (its fat wrapper needs the TRSM tail)
             ((512, 512), jnp.complex64, True, False, "complex-unblocked"),
             ((4096, 4096), jnp.complex128, True, True, "complex-blocked"),
             ((130, 132), jnp.complex128, True, True, "complex-blocked"),
@@ -304,10 +325,9 @@ class TestDispatchRoute:
             ((4096, 4096), jnp.float32, True, True, "blocked"),
             # fat shapes delegate by minmn
             ((512, 1024), jnp.float32, True, True, "xla"),
-            # no escape for: no-pivot, f64/bf16, or off-TPU
+            # no escape for: no-pivot, f64, or off-TPU
             ((512, 512), jnp.float32, False, True, "whole"),
             ((512, 512), jnp.float64, True, True, "whole"),
-            ((512, 512), jnp.bfloat16, True, True, "whole"),
             ((512, 512), jnp.float32, True, False, "whole"),
             ((4096, 4096), jnp.float64, True, True, "blocked"),
             # fat shapes delegate by minmn under the threshold...
@@ -371,7 +391,7 @@ class TestDispatchRoute:
         # matrix on each CPU-reachable route and verify L@U == A[p, :]
         rng = np.random.RandomState(0)
         for shape, dtype, pivot, cfg in [
-            ((20, 20), np.float16, True, None),                     # generic
+            ((20, 20), np.float16, True, None),                     # promote
             ((24, 24), np.complex64, True, None),                   # c-unblocked
             ((40, 40), np.complex128, True, LUConfig(small_threshold=16, panel_width=16)),  # c-blocked
             ((32, 32), np.float64, True, LUConfig(xla_threshold=64)),  # xla
