@@ -420,6 +420,58 @@ def test_tp_collective_count_canary():
     assert counts[8] <= 8, counts  # 4 stages, tolerate fused pairs
 
 
+def test_tp_collective_payload_canary():
+    """ICI PAYLOAD canary (round 5, docs/DESIGN.md break-even model):
+    every all-reduce in the lowered TP factor kernel carries exactly
+    ONE (H, w) f32 panel — 4*H*w bytes — so the total wire volume per
+    factorization stays 4*n^2 bytes regardless of D.  A regression
+    that psums a wider block (whole trailing matrix, stacked panels)
+    changes the all-reduce operand shape and fails here before any
+    multi-chip run could notice.  H varies by shrinking stage (full
+    height per stage), so the assertion is: every all-reduce operand
+    is f32[H, w] with w the panel width and H <= n."""
+    import functools
+    import re
+
+    from jax.sharding import PartitionSpec as P
+    from recursivefactorization_jl_tpu.parallel.blockcyclic import (
+        _tp_lu_kernel,
+    )
+
+    n, w, D = 256, 32, 4
+    mesh = mesh_1d("tp", D)
+    kernel = functools.partial(
+        _tp_lu_kernel, axis="tp", n=n, w=w, D=D, pivot=True,
+        pallas_panels=False, panel_micro=32, panel_unroll=1,
+    )
+    shard_fn = jax.shard_map(
+        kernel, mesh=mesh, in_specs=P(None, "tp"),
+        out_specs=(P(None, "tp"), P(), P(), P()),
+    )
+    hlo = jax.jit(shard_fn).lower(
+        jax.ShapeDtypeStruct((n, n), jnp.float32)
+    ).compile().as_text()
+    # HLO form: `%psum... = f32[H,w]{1,0} all-reduce(...)` — one per
+    # shrinking stage, H = that stage's full height
+    flat = re.findall(
+        r"=\s*f32\[(\d+),(\d+)\][^ ]*\s+all-reduce", hlo
+    )
+    assert flat, "no all-reduce operands found in HLO"
+    for h, ww in flat:
+        assert int(ww) == w, (h, ww)
+        assert int(h) <= n, (h, ww)
+    # total wire payload: stage i broadcasts (H_i - H_{i+1})/w panels
+    # of 4*H_i*w bytes each — for the shrinking-height schedule this
+    # sums to ~2*n^2 bytes (<= 4*n^2, the non-shrinking bound used by
+    # the DESIGN.md break-even model as its conservative ICI term)
+    stage_h = sorted((int(h) for h, _ in flat), reverse=True)
+    total = sum(
+        4 * h * (h - (stage_h[i + 1] if i + 1 < len(stage_h) else 0))
+        for i, h in enumerate(stage_h)
+    )
+    assert n * n <= total <= 4 * n * n, (stage_h, total)
+
+
 def test_tp_lu_solve_trans():
     """Distributed transpose solve (VERDICT r3 item 8): trans='T'
     substitutes through the transposed block-cyclic factors and
