@@ -135,6 +135,7 @@ def panel_factor(
             variant=config.panel_variant,
             outer=config.panel_outer,
             unroll=config.panel_unroll,
+            bprec=config.panel_boundary_precision,
         )
     if route == "pallas-c64":
         return panel_factor_pallas_c64(
@@ -415,6 +416,7 @@ def _panel_kernel_fori(
     slim: bool = False,
     outer=None,
     unroll: int = 1,
+    bprec: str = "float32",
 ):
     """fori-loop shadow panel kernel — scales to WHOLE-MATRIX LU.
 
@@ -457,9 +459,16 @@ def _panel_kernel_fori(
     sh_ref[nsh - 1, :] = lanes[0, :].astype(f32)
 
     hi = jax.lax.Precision.HIGHEST
+    # boundary-update precision (LUConfig.panel_boundary_precision):
+    # the TRSM applies + rank-micro/outer Schur may run 3-pass HIGH;
+    # the micro-block inverse below always stays HIGHEST.
+    bp = jax.lax.Precision.HIGH if bprec == "bf16x3" else hi
 
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=f32, precision=hi)
+
+    def mmb(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32, precision=bp)
 
     def step_basic(i, carry, p0, nb):
         k = p0 + i
@@ -661,7 +670,7 @@ def _panel_kernel_fori(
                 substitution_trsm(p0, p1, p1, w)
                 if p1 < m:
                     # rank-nb Schur update of the trailing block (MXU)
-                    out_ref[p1:, p1:] -= mm(
+                    out_ref[p1:, p1:] -= mmb(
                         out_ref[p1:, p0:p1], out_ref[p0:p1, p1:]
                     )
             continue
@@ -672,8 +681,8 @@ def _panel_kernel_fori(
         inv_ref[p0 - P0 : p0 - P0 + nb, :nb] = Xq
         if p1 < P1:
             # inner boundary: TRSM + Schur confined to the outer block
-            out_ref[p0:p1, p1:P1] = mm(Xq, out_ref[p0:p1, p1:P1])
-            out_ref[p1:, p1:P1] -= mm(
+            out_ref[p0:p1, p1:P1] = mmb(Xq, out_ref[p0:p1, p1:P1])
+            out_ref[p1:, p1:P1] -= mmb(
                 out_ref[p1:, p0:p1], out_ref[p0:p1, p1:P1]
             )
         if p1 == P1 and p1 < w:
@@ -685,12 +694,12 @@ def _panel_kernel_fori(
                 nq = q1 - q0
                 R = out_ref[q0:q1, p1:]
                 if q0 > P0:
-                    R = R - mm(out_ref[q0:q1, P0:q0], out_ref[P0:q0, p1:])
-                out_ref[q0:q1, p1:] = mm(
+                    R = R - mmb(out_ref[q0:q1, P0:q0], out_ref[P0:q0, p1:])
+                out_ref[q0:q1, p1:] = mmb(
                     inv_ref[q0 - P0 : q0 - P0 + nq, :nq], R
                 )
             if p1 < m:
-                out_ref[p1:, p1:] -= mm(
+                out_ref[p1:, p1:] -= mmb(
                     out_ref[p1:, P0:p1], out_ref[P0:p1, p1:]
                 )
 
@@ -906,7 +915,8 @@ def panel_factor_noswap_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "pivot", "interpret", "micro", "variant", "outer", "unroll"
+        "pivot", "interpret", "micro", "variant", "outer", "unroll",
+        "bprec",
     ),
 )
 @trace32
@@ -918,6 +928,7 @@ def panel_factor_pallas(
     variant: str = "shadow",
     outer: int = 256,
     unroll: int = 1,
+    bprec: str = "float32",
 ):
     m, w = panel.shape
     minmn = min(m, w)
@@ -931,6 +942,7 @@ def panel_factor_pallas(
             slim=(variant in ("fori2", "fori3")),
             outer=(outer if variant == "fori3" else None),
             unroll=unroll,
+            bprec=bprec,
         )
         extra = {
             "scratch_shapes": [

@@ -118,6 +118,17 @@ class LUConfig:
     # XLA passes per elimination step); 'auto' = pallas on the TPU
     # f32 path, jax elsewhere (mirrors `backend`).
     tp_panel_backend: str = "auto"
+    # Compute precision of the fori panel kernels' IN-PANEL boundary
+    # matmuls (the micro-boundary TRSM applies and rank-micro/outer
+    # Schur updates — HIGHEST 6-pass f32 by default).  'bf16x3' runs
+    # them 3-pass (HIGH): eps ~ 2^-21 per product — the same accuracy
+    # class as the blocked-level bf16x3 Schur mode, which passes the
+    # reference residual gate with ~3 bits of headroom (measured on
+    # chip, test_bf16x3_schur_residual_on_chip).  The micro-block
+    # INVERSE (nilpotent repeated squaring) always stays HIGHEST —
+    # its conditioning drives the whole panel.  Round-5 A/B at n=8192:
+    # see perf/results_r05_phase.json.
+    panel_boundary_precision: str = "float32"
     # Elimination steps per fori-loop iteration inside the fori panel
     # kernels (program order unchanged — results are bitwise-identical).
     # >1 amortizes per-step loop bookkeeping and lets Mosaic overlap

@@ -128,3 +128,23 @@ def test_bfloat16_dtype_path():
     U = np.triu(f)
     resid = np.max(np.abs(L @ U - A[np.asarray(F.p), :]))
     assert resid < n * 2.0 ** -7, resid
+
+
+def test_panel_boundary_precision_knob():
+    """panel_boundary_precision='bf16x3' plumbs through to the fori
+    kernels (CPU HIGH == exact f32, so factors are identical here; the
+    accuracy claim is pinned on chip)."""
+    n = 96
+    A = RNG.rand(n, n).astype(np.float32)
+    cfg_hi = LUConfig(backend="pallas", panel_variant="fori3",
+                      panel_micro=16, panel_outer=32)
+    import dataclasses
+
+    cfg_bp = dataclasses.replace(cfg_hi, panel_boundary_precision="bf16x3")
+    F1 = rf.lu(jnp.asarray(A), config=cfg_hi)
+    F2 = rf.lu(jnp.asarray(A), config=cfg_bp)
+    assert int(F1.info) == int(F2.info) == 0
+    np.testing.assert_array_equal(np.asarray(F1.ipiv), np.asarray(F2.ipiv))
+    np.testing.assert_allclose(
+        np.asarray(F1.factors), np.asarray(F2.factors), atol=1e-5
+    )
