@@ -48,7 +48,7 @@ COPTS = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
 
 
 def main():
-    sizes = [2048, 4096, 8192]
+    sizes = [1024, 2048, 4096, 8192]
     if "--sizes" in sys.argv:
         sizes = [int(s) for s in
                  sys.argv[sys.argv.index("--sizes") + 1].split(",")]

@@ -459,16 +459,41 @@ def _panel_kernel_fori(
     sh_ref[nsh - 1, :] = lanes[0, :].astype(f32)
 
     hi = jax.lax.Precision.HIGHEST
-    # boundary-update precision (LUConfig.panel_boundary_precision):
-    # the TRSM applies + rank-micro/outer Schur may run 3-pass HIGH;
-    # the micro-block inverse below always stays HIGHEST.
-    bp = jax.lax.Precision.HIGH if bprec == "bf16x3" else hi
 
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=f32, precision=hi)
 
-    def mmb(a, b):
-        return jnp.dot(a, b, preferred_element_type=f32, precision=bp)
+    # boundary-update precision (LUConfig.panel_boundary_precision):
+    # the TRSM applies + rank-micro/outer Schur may run 3-pass bf16x3;
+    # the micro-block inverse below always stays HIGHEST.  Mosaic does
+    # not lower Precision.HIGH inside kernels ("Unsupported dot
+    # precision: HIGH" on chip, measured r5), so the 3-pass split is
+    # built by hand: a = ah + al with ah = bf16(a), al = bf16(a - ah);
+    # a@b ~= ah@bh + ah@bl + al@bh (the al@bl term is below 2^-21 and
+    # dropped, exactly XLA's HIGH).  Each bf16xbf16->f32 dot is one MXU
+    # pass vs HIGHEST's six.
+    if bprec == "bf16x3":
+
+        def mmb(a, b):
+            bf = jnp.bfloat16
+            ah = a.astype(bf)
+            al = (a - ah.astype(f32)).astype(bf)
+            bh = b.astype(bf)
+            bl = (b - bh.astype(f32)).astype(bf)
+
+            def d(x, y):
+                # precision pinned to DEFAULT: the package's
+                # full_matmul_precision context would otherwise promote
+                # these bf16 dots to HIGHEST -> fp32 contract precision
+                # on bf16 operands, which Mosaic rejects ("Bad lhs
+                # type", measured r5).  DEFAULT on bf16 inputs is the
+                # single MXU pass the split wants.
+                return jnp.dot(x, y, preferred_element_type=f32,
+                               precision=jax.lax.Precision.DEFAULT)
+
+            return d(ah, bh) + (d(ah, bl) + d(al, bh))
+    else:
+        mmb = mm
 
     def step_basic(i, carry, p0, nb):
         k = p0 + i

@@ -132,10 +132,15 @@ def test_bfloat16_dtype_path():
 
 def test_panel_boundary_precision_knob():
     """panel_boundary_precision='bf16x3' plumbs through to the fori
-    kernels (CPU HIGH == exact f32, so factors are identical here; the
-    accuracy claim is pinned on chip)."""
+    kernels.  The split is a hand-built 3-pass bf16 sum (Mosaic rejects
+    Precision.HIGH), so it runs REAL bf16x3 arithmetic on every backend
+    — factors agree with the HIGHEST run to ~2^-21-level, and the
+    reconstruction residual stays at f32-ish level.  Local fixed RNG:
+    the factor-difference tolerance is matrix-dependent (growth factor
+    amplifies the 2^-21 boundary rounding), so the matrix must not
+    depend on which tests ran before this one."""
     n = 96
-    A = RNG.rand(n, n).astype(np.float32)
+    A = np.random.RandomState(7).standard_normal((n, n)).astype(np.float32)
     cfg_hi = LUConfig(backend="pallas", panel_variant="fori3",
                       panel_micro=16, panel_outer=32)
     import dataclasses
@@ -146,5 +151,10 @@ def test_panel_boundary_precision_knob():
     assert int(F1.info) == int(F2.info) == 0
     np.testing.assert_array_equal(np.asarray(F1.ipiv), np.asarray(F2.ipiv))
     np.testing.assert_allclose(
-        np.asarray(F1.factors), np.asarray(F2.factors), atol=1e-5
+        np.asarray(F1.factors), np.asarray(F2.factors), atol=2e-3
     )
+    f = np.asarray(F2.factors, dtype=np.float64)
+    L = np.tril(f, -1) + np.eye(n)
+    U = np.triu(f)
+    resid = np.max(np.abs(L @ U - A.astype(np.float64)[np.asarray(F2.p), :]))
+    assert resid < 5e-4, resid
