@@ -302,6 +302,14 @@ def _dispatch_factor(A: jax.Array, pivot: bool, config: LUConfig):
         )
     m, n = A.shape
     minmn = min(m, n)
+    # Resolve the 'auto' boundary-precision knob ONCE against the whole
+    # factorization's min dim (not per-panel), so every panel of a
+    # large blocked run gets the measured-win bf16x3 mode and small /
+    # non-f32 / CPU runs keep HIGHEST (trace-time only — config is a
+    # static arg).
+    bp = config.resolved_panel_boundary_precision(minmn, A.dtype)
+    if bp != config.panel_boundary_precision:
+        config = dataclasses.replace(config, panel_boundary_precision=bp)
     route = dispatch_route(A.shape, A.dtype, pivot, config)
     if route == "generic":
         # Generic fallback — the analog of ref src/lu.jl:117-118.

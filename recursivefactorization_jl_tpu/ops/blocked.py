@@ -192,6 +192,18 @@ def blocked_lu(
     """
     m, n = A.shape
     minmn = min(m, n)
+    # Direct callers (perf arms, TP) may land here with the 'auto'
+    # boundary-precision knob unresolved; resolve it against the whole
+    # factorization's min dim, same gate as _dispatch_factor.
+    if config.panel_boundary_precision == "auto":
+        import dataclasses
+
+        config = dataclasses.replace(
+            config,
+            panel_boundary_precision=(
+                config.resolved_panel_boundary_precision(minmn, A.dtype)
+            ),
+        )
     if m < n:
         # Fat: factor the left square block, then permute + TRSM the
         # remaining columns (ref _recurse! src/lu.jl:140-146).

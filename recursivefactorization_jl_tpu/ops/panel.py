@@ -128,6 +128,10 @@ def panel_factor(
         )
         return blocked_lu(panel, pivot, sub)
     if route == "pallas":
+        # 'auto' still unresolved here only for direct callers (the
+        # dispatch and blocked layers resolve against the full
+        # factorization's min dim); min(m, w) IS that dim for a
+        # whole-matrix call, the only direct-call shape that matters.
         return panel_factor_pallas(
             panel,
             pivot,
@@ -135,7 +139,9 @@ def panel_factor(
             variant=config.panel_variant,
             outer=config.panel_outer,
             unroll=config.panel_unroll,
-            bprec=config.panel_boundary_precision,
+            bprec=config.resolved_panel_boundary_precision(
+                min(m, w), panel.dtype
+            ),
         )
     if route == "pallas-c64":
         return panel_factor_pallas_c64(

@@ -120,15 +120,20 @@ class LUConfig:
     tp_panel_backend: str = "auto"
     # Compute precision of the fori panel kernels' IN-PANEL boundary
     # matmuls (the micro-boundary TRSM applies and rank-micro/outer
-    # Schur updates — HIGHEST 6-pass f32 by default).  'bf16x3' runs
-    # them 3-pass (HIGH): eps ~ 2^-21 per product — the same accuracy
-    # class as the blocked-level bf16x3 Schur mode, which passes the
-    # reference residual gate with ~3 bits of headroom (measured on
-    # chip, test_bf16x3_schur_residual_on_chip).  The micro-block
-    # INVERSE (nilpotent repeated squaring) always stays HIGHEST —
-    # its conditioning drives the whole panel.  Round-5 A/B at n=8192:
-    # see perf/results_r05_phase.json.
-    panel_boundary_precision: str = "float32"
+    # Schur updates — HIGHEST 6-pass f32 with 'float32').  'bf16x3'
+    # runs them as a hand-built 3-pass bf16 split: eps ~ 2^-21 per
+    # product — the same accuracy class as the blocked-level bf16x3
+    # Schur mode, which passes the reference residual gate with ~3
+    # bits of headroom (measured on chip,
+    # test_bf16x3_schur_residual_on_chip).  The micro-block INVERSE
+    # (nilpotent repeated squaring) always stays HIGHEST — its
+    # conditioning drives the whole panel.  'auto' (default) resolves
+    # like schur_precision: bf16x3 on the TPU f32 path at
+    # minmn >= AUTO_BF16X3_MIN, float32 elsewhere.  Measured r5 on
+    # chip at n=8192: 36.12 ms vs 37.27 ms HIGHEST (+3%), scaled
+    # residual 2.88 @2048 / 3.59 @4096 (O(1), LAPACK-class); see
+    # perf/results_r05_phase.json.
+    panel_boundary_precision: str = "auto"
     # Elimination steps per fori-loop iteration inside the fori panel
     # kernels (program order unchanged — results are bitwise-identical).
     # >1 amortizes per-step loop bookkeeping and lets Mosaic overlap
@@ -239,6 +244,29 @@ class LUConfig:
         docstring).  ``tpu`` overrides backend detection for tests."""
         if self.schur_precision != "auto":
             return self.schur_precision
+        import jax.numpy as jnp
+
+        if tpu is None:
+            tpu = is_tpu_backend()
+        if (
+            tpu
+            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            and minmn >= self.AUTO_BF16X3_MIN
+        ):
+            return "bf16x3"
+        return "float32"
+
+    def resolved_panel_boundary_precision(
+        self, minmn: int, dtype, tpu=None
+    ) -> str:
+        """In-panel boundary-matmul precision for a factorization of
+        min dim ``minmn`` (see the ``panel_boundary_precision`` field).
+        Explicit values pass through; 'auto' resolves bf16x3 on the
+        same (TPU, f32, minmn >= AUTO_BF16X3_MIN) gate as the Schur
+        mode — the regime where it measured faster on chip with O(1)
+        scaled residuals.  ``tpu`` overrides detection for tests."""
+        if self.panel_boundary_precision != "auto":
+            return self.panel_boundary_precision
         import jax.numpy as jnp
 
         if tpu is None:

@@ -152,6 +152,34 @@ class TestResolvedSchurPrecision:
             assert cfg.resolved_schur_precision(8192, jnp.float32, tpu=True) == p
 
 
+class TestPanelBoundaryPrecisionResolution:
+    """The in-panel boundary knob's 'auto' resolves on the same
+    (TPU, f32, minmn >= 4096) gate as the Schur mode (measured r5:
+    +3% at n=8192, scaled resid O(1); perf/results_r05_phase.json)."""
+
+    def test_auto_bf16x3_band(self):
+        f = CFG.resolved_panel_boundary_precision
+        assert f(4096, jnp.float32, tpu=True) == "bf16x3"
+        assert f(8192, jnp.float32, tpu=True) == "bf16x3"
+
+    def test_auto_float32_everywhere_else(self):
+        f = CFG.resolved_panel_boundary_precision
+        assert f(4095, jnp.float32, tpu=True) == "float32"
+        assert f(2048, jnp.float32, tpu=True) == "float32"
+        assert f(4096, jnp.float64, tpu=True) == "float32"
+        assert f(4096, jnp.float32, tpu=False) == "float32"
+
+    def test_explicit_passthrough(self):
+        for p in ("float32", "bf16x3"):
+            cfg = LUConfig(panel_boundary_precision=p)
+            assert (
+                cfg.resolved_panel_boundary_precision(
+                    8192, jnp.float32, tpu=True
+                )
+                == p
+            )
+
+
 # ---------------------------------------------------------------------------
 # _use_pallas backend gate
 # ---------------------------------------------------------------------------
