@@ -228,7 +228,11 @@ def _measure_at(n: int, rng) -> tuple:
     # see LUConfig); 'ours' is the DEFAULT path a user gets, and the
     # explicit-f32 arm keeps the full-precision comparison visible.
     cfg = rf.default_config()
-    cfg_f32 = rf.LUConfig(schur_precision="float32")
+    # round-5: panel_boundary_precision also defaults 'auto' (bf16x3
+    # here); the full-precision arm pins BOTH knobs so it stays a true
+    # 6-pass-everywhere comparison.
+    cfg_f32 = rf.LUConfig(schur_precision="float32",
+                          panel_boundary_precision="float32")
 
     variants = {
         "ours": (lambda a: _dispatch_factor(a, True, cfg)[0], A),
