@@ -64,11 +64,23 @@ def main():
         for n in sizes:
             A = jnp.asarray(rng.standard_normal((n, n)), dtype=jnp.float32)
             b = jnp.asarray(rng.standard_normal((n,)), dtype=jnp.float32)
-            # precomputed factors for the solve-only arms
-            fac, _ipiv, perm, _info = jax.block_until_ready(
-                jax.jit(lambda a: _dispatch_factor(a, True, cfg))(A)
-            )
-            xf, xpiv = jax.block_until_ready(jsp.lu_factor(A))
+            # precomputed factors for the solve-only arms — compiled
+            # with the same scoped-vmem raise the timed cells get (the
+            # default scoped limit OOMs the n>=4096 tail kernel), and
+            # isolated so one size's failure doesn't kill the sweep
+            try:
+                factor = jax.jit(
+                    lambda a: _dispatch_factor(a, True, cfg)
+                ).lower(A).compile(compiler_options=COPTS)
+                fac, _ipiv, perm, _info = jax.block_until_ready(factor(A))
+                xf, xpiv = jax.block_until_ready(jsp.lu_factor(A))
+            except Exception as e:  # noqa: BLE001
+                print(f"n={n} precompute FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+                f.write(json.dumps({"n": n, "error":
+                                    f"precompute {type(e).__name__}: {e}"[:300]})
+                        + "\n")
+                continue
 
             def rf_solve(bb, fac=fac, perm=perm):
                 return _lu_solve_impl(fac, perm, bb, True, 0)
