@@ -61,11 +61,13 @@ def main():
                             "date": time.strftime("%Y-%m-%d"),
                             "backend": jax.default_backend()}) + "\n")
         for n in sizes:
-            A = jnp.asarray(
-                rng.standard_normal((n, n))
-                + 1j * rng.standard_normal((n, n)),
-                dtype=jnp.complex64,
-            )
+            # complex built ON DEVICE from two real transfers — the
+            # relay intermittently rejects complex host<->device
+            # transfers (UNIMPLEMENTED) once large real programs have
+            # run; see perf/sweep.py make_matrix
+            re = jnp.asarray(rng.standard_normal((n, n)), dtype=jnp.float32)
+            im = jnp.asarray(rng.standard_normal((n, n)), dtype=jnp.float32)
+            A = jax.jit(jax.lax.complex)(re, im)
             arms = {
                 "rf": lambda a: _dispatch_factor(a, True, cfg)[0],
                 "xla": lambda a: jax.lax.linalg.lu(a)[0],
