@@ -142,7 +142,7 @@ def main():
     }
     print(f"=== r5_decomp n={n} arms={names} backend={jax.default_backend()}",
           flush=True)
-    with open(path, "a") as f:
+    with open(path, "a", buffering=1) as f:
         f.write(json.dumps({"meta": "r5_decomp", "n": n,
                             "date": time.strftime("%Y-%m-%d"),
                             "backend": jax.default_backend(),

@@ -57,7 +57,7 @@ def main():
     cfg = rf.LUConfig()
     print(f"=== r5_solve sizes={sizes} backend={jax.default_backend()}",
           flush=True)
-    with open(path, "a") as f:
+    with open(path, "a", buffering=1) as f:
         f.write(json.dumps({"meta": "r5_solve", "sizes": sizes,
                             "date": time.strftime("%Y-%m-%d"),
                             "backend": jax.default_backend()}) + "\n")

@@ -253,22 +253,31 @@ def dispatch_route(
     xla_thresh = config.resolved_xla_threshold(dtype, tpu)
     if xla_thresh is not None and pivot and minmn <= xla_thresh:
         # Platform escape.  For f32 this covers the sub-crossover band
-        # (<= 1535); for c64 on TPU it covers every size — XLA's native
-        # C64 getrf beats this package's complex-blocked path (whose
-        # panels are the masked pure-JAX loop, not a Pallas kernel) at
-        # all measured sizes; see LUConfig.AUTO_XLA_THRESHOLD_C64.
+        # (<= 1535); for c64 the sub-noise-floor band (<= 1023) below
+        # the native split-plane kernel's measured win at 1024 — see
+        # LUConfig.AUTO_XLA_THRESHOLD_C64 / perf/results_r05_c64.json.
         return "xla"
     if is_complex:
         from ..ops.panel import _use_pallas_c64
 
-        if _use_pallas_c64(dtype, config, tpu):
+        if _use_pallas_c64(dtype, config, tpu) and (
+            config.backend == "pallas"
+            or minmn <= config.C64_NATIVE_CEILING
+        ):
             # Native split-plane c64 Pallas path (round 5): same
             # whole/blocked split as f32 — the fori-c64 kernel takes
             # whole matrices to the VMEM bound and panels inside the
-            # blocked schedule above it.
+            # blocked schedule above it.  Auto backend caps the window
+            # at C64_NATIVE_CEILING (the Mosaic compile-crash class
+            # starts at n=2048); forced-pallas configs bypass the cap.
             if m >= n and minmn <= config.small_threshold:
                 return "whole"
             return "blocked"
+        if pivot and xla_thresh is not None:
+            # Above the native ceiling: back to the platform kernel
+            # (round-4 policy; measured 6.56 ms at n=2048 vs a compile
+            # crash for the composed split-plane graph).
+            return "xla"
         if m >= n and minmn <= config.small_threshold:
             return "complex-unblocked"
         return "complex-blocked"

@@ -215,17 +215,31 @@ class LUConfig:
     # The dispatcher compares `minmn <= threshold`.
     AUTO_XLA_THRESHOLD = 1535
 
-    # Complex64 delegation threshold (round 4).  This package has no
-    # complex Pallas panel — complex panels run the masked pure-JAX
-    # loop, so the serial pivot chain costs roughly an order of
-    # magnitude more than the f32 Pallas chain, while XLA's own C64
-    # getrf is a native blocked TPU kernel.  Measured on chip
-    # (2026-08-19 v5e, interleaved marginals,
-    # perf/results_r04_c64.json): XLA wins at every measured size —
-    # see that artifact for the per-size ratios.  Delegate at every
-    # size: INT_MAX semantics (compared as `minmn <= threshold`).
-    # C128 never delegates (XLA's TPU lu is F32/C64-only).
-    AUTO_XLA_THRESHOLD_C64 = 1 << 30
+    # Complex64 delegation threshold.  Round 4 delegated at every size
+    # (1 << 30) because complex panels were the masked pure-JAX loop;
+    # round 5's split-plane fori kernel (ops/panel.py, CABS1 pivoting)
+    # makes the native path competitive.  Measured on chip (2026-08-20
+    # v5e, interleaved marginals, perf/results_r05_c64.json): n <= 768
+    # is a tie within the relay noise floor (both arms < 1 ms; n=512
+    # flipped 5.7x/0.46x across sessions, heavier averaging says tie),
+    # n=1024 is a consistent rf win (1.53x / 1.56x in two sessions).
+    # Same policy as f32's AUTO_XLA_THRESHOLD: the threshold sits at
+    # the first size whose win holds — delegate through 1023 (compared
+    # as `minmn <= threshold`).  C128 never delegates (XLA's TPU lu is
+    # F32/C64-only).
+    AUTO_XLA_THRESHOLD_C64 = 1023
+
+    # Upper bound of the native c64 window (auto backend, TPU).  The
+    # split-plane whole-matrix kernel compile-verified through n=1536
+    # (286 s Mosaic compile, factors correct on chip); at n=2048 the
+    # same route hits the known Mosaic compile-crash class
+    # (tpu_compile_helper exit 1) and at 4096 the compile-hang flavor
+    # (perf/results_r05_c64.json session-1 rows).  Above the ceiling,
+    # pivoted c64 delegates back to the platform kernel; no-pivot /
+    # C128 keep the pure-JAX-panel complex routes (which compile at
+    # every size).  A forced `backend="pallas"` config bypasses the
+    # ceiling (interpret-mode CPU runs have no Mosaic to crash).
+    C64_NATIVE_CEILING = 1536
 
     # micro=64 band of the 'auto' micro resolution (whole-matrix only).
     AUTO_MICRO_WIDE_LO = 1024

@@ -325,16 +325,23 @@ class TestDispatchRoute:
             ((64, 64), jnp.float16, True, True, "promote"),
             ((512, 512), jnp.bfloat16, True, True, "promote"),
             ((4096, 4096), jnp.bfloat16, True, True, "promote"),
-            # pivoted c64 on TPU delegates at EVERY size (round 4:
-            # XLA's native C64 getrf beats the pure-JAX complex panels
-            # at all measured sizes, perf/results_r04_c64.json)
+            # pivoted c64 on TPU: native split-plane kernel only inside
+            # the measured window [1024, 1536] — delegated below (tie
+            # within noise through 768, perf/results_r05_c64.json) and
+            # above (Mosaic compile-crash class from n=2048)
             ((512, 512), jnp.complex64, True, True, "xla"),
-            ((4096, 4096), jnp.complex64, True, True, "xla"),
             ((130, 132), jnp.complex64, True, True, "xla"),
+            ((1024, 1024), jnp.complex64, True, True, "whole"),
+            ((1536, 1536), jnp.complex64, True, True, "whole"),
+            ((2048, 2048), jnp.complex64, True, True, "xla"),
+            ((4096, 4096), jnp.complex64, True, True, "xla"),
             # c64 off the delegated path on TPU takes the split-plane
-            # Pallas kernel through the whole/blocked routes (round 5)
+            # Pallas kernel through the whole/blocked routes (round 5);
+            # no-pivot can't delegate, so above the native ceiling it
+            # keeps the pure-JAX-panel complex routes
             ((512, 512), jnp.complex64, False, True, "whole"),
-            ((4096, 4096), jnp.complex64, False, True, "blocked"),
+            ((1536, 1537), jnp.complex64, False, True, "blocked"),
+            ((4096, 4096), jnp.complex64, False, True, "complex-blocked"),
             # complex with no Pallas kernel (C128, CPU): unblocked to
             # small_threshold, blocked above; fat complex goes blocked
             # (its fat wrapper needs the TRSM tail)

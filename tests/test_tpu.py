@@ -79,10 +79,10 @@ def test_complex64_blocked_on_chip():
 
 @requires_tpu
 def test_complex64_delegated_default_on_chip():
-    """The DEFAULT pivoted c64 route on TPU is the platform escape at
-    every size (round 4, LUConfig.AUTO_XLA_THRESHOLD_C64): pin that the
-    delegated factors solve correctly and info == 0 on a
-    well-conditioned matrix."""
+    """The DEFAULT pivoted c64 route on TPU is the platform escape
+    below the native window (LUConfig.AUTO_XLA_THRESHOLD_C64 = 1023,
+    round 5): pin that the delegated factors solve correctly and
+    info == 0 on a well-conditioned matrix."""
     from recursivefactorization_jl_tpu.models.lu import dispatch_route
 
     n = 384
@@ -610,6 +610,30 @@ def test_c64_native_kernel_on_chip():
     x = np.asarray(rf.lu_solve(F, jnp.asarray(A[:, -1])))
     e = np.zeros(n); e[-1] = 1.0
     assert np.max(np.abs(x - e)) < 100 * 20 * n * np.finfo(np.float32).eps
+
+
+@requires_tpu
+def test_c64_default_native_window_on_chip():
+    """Under the DEFAULT config, pivoted c64 at n=1024 routes to the
+    native split-plane whole-matrix kernel (the measured-win window
+    [1024, 1536], perf/results_r05_c64.json) — factor correctness and
+    scipy ipiv parity on chip."""
+    n = 1024
+    assert rf.dispatch_route((n, n), jnp.complex64, True,
+                             tpu=True) == "whole"
+    A = (RNG.standard_normal((n, n))
+         + 1j * RNG.standard_normal((n, n))).astype(np.complex64)
+    F = rf.lu(jnp.asarray(A))
+    assert int(F.info) == 0
+    f = np.asarray(F.factors)
+    L = np.tril(f, -1) + np.eye(n)
+    U = np.triu(f)
+    resid = np.max(np.abs(L @ U - A[np.asarray(F.p)]))
+    assert resid < 20 * n * np.finfo(np.float32).eps * np.max(np.abs(A))
+    import scipy.linalg
+
+    _, piv_sp = scipy.linalg.lu_factor(A)
+    np.testing.assert_array_equal(np.asarray(F.ipiv), piv_sp)
 
 
 @requires_tpu
