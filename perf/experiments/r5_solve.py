@@ -52,6 +52,8 @@ def main():
     if "--sizes" in sys.argv:
         sizes = [int(s) for s in
                  sys.argv[sys.argv.index("--sizes") + 1].split(",")]
+    only = (sys.argv[sys.argv.index("--arms") + 1].split(",")
+            if "--arms" in sys.argv else None)
     path = os.path.join(_REPO, "perf", "results_r05_solve.json")
     rng = np.random.RandomState(123)
     cfg = rf.LUConfig()
@@ -82,10 +84,14 @@ def main():
                         + "\n")
                 continue
 
-            def rf_solve(bb, fac=fac, perm=perm):
+            # the precomputed factors ride as REAL jit arguments of the
+            # timing graph (extra_args) — closed-over device arrays
+            # embed as HLO constants, and at n=8192 the 256 MB constant
+            # overflows the remote-compile tunnel (HTTP 413)
+            def rf_solve(bb, fac, perm):
                 return _lu_solve_impl(fac, perm, bb, True, 0)
 
-            def xla_getrs(bb, xf=xf, xpiv=xpiv):
+            def xla_getrs(bb, xf, xpiv):
                 return jsp.lu_solve((xf, xpiv), bb)
 
             def rf_fused(a, b=b, cfg=cfg):
@@ -98,14 +104,20 @@ def main():
             def xla_e2e(a, b=b):
                 return jsp.lu_solve(jsp.lu_factor(a), b)
 
-            solve_arms = {"rf_solve": rf_solve, "xla_getrs": xla_getrs}
+            solve_arms = {"rf_solve": (rf_solve, (fac, perm)),
+                          "xla_getrs": (xla_getrs, (xf, xpiv))}
             e2e_arms = {"rf_fused": rf_fused, "rf_compose": rf_compose,
                         "xla_e2e": xla_e2e}
+            if only is not None:
+                solve_arms = {k: v for k, v in solve_arms.items()
+                              if k in only}
+                e2e_arms = {k: v for k, v in e2e_arms.items() if k in only}
             row = {"n": n, "dtype": "float32"}
-            for name, fn in solve_arms.items():
+            for name, (fn, extras) in solve_arms.items():
                 try:
                     st = marginal_time_stats(fn, b, k1=2, k2=8, reps=4,
-                                             compiler_options=COPTS)
+                                             compiler_options=COPTS,
+                                             extra_args=extras)
                 except Exception as e:  # noqa: BLE001
                     print(f"n={n} {name}: FAILED {type(e).__name__}: "
                           f"{str(e)[:200]}", flush=True)

@@ -128,11 +128,13 @@ class LUConfig:
     # test_bf16x3_schur_residual_on_chip).  The micro-block INVERSE
     # (nilpotent repeated squaring) always stays HIGHEST — its
     # conditioning drives the whole panel.  'auto' (default) resolves
-    # like schur_precision: bf16x3 on the TPU f32 path at
-    # minmn >= AUTO_BF16X3_MIN, float32 elsewhere.  Measured r5 on
-    # chip at n=8192: 36.12 ms vs 37.27 ms HIGHEST (+3%), scaled
-    # residual 2.88 @2048 / 3.59 @4096 (O(1), LAPACK-class); see
-    # perf/results_r05_phase.json.
+    # bf16x3 on the TPU f32 path at minmn >= AUTO_BPREC_MIN (8192 —
+    # NOT the Schur knob's 4096 gate: bprec panel graphs at n=4096
+    # deterministically crash the Mosaic compile helper, see
+    # AUTO_BPREC_MIN), float32 elsewhere.  Measured r5 on chip at
+    # n=8192: 36.12 ms vs 37.27 ms HIGHEST (+3%), scaled residual
+    # 2.88 @2048 / 3.59 @4096 with explicit bprec configs (O(1),
+    # LAPACK-class); see perf/results_r05_phase.json.
     panel_boundary_precision: str = "auto"
     # Elimination steps per fori-loop iteration inside the fori panel
     # kernels (program order unchanged — results are bitwise-identical).
@@ -251,6 +253,18 @@ class LUConfig:
     # XLA-level Schur updates for this knob to touch anyway.
     AUTO_BF16X3_MIN = 4096
 
+    # Separate gate for the IN-PANEL boundary knob's 'auto' (round 5).
+    # bf16x3 panel boundaries measured a win only at n=8192 (36.12 vs
+    # 37.27 ms, perf/results_r05_phase.json), and at n=4096 the bprec
+    # panel graphs hit the Mosaic compile-crash class DETERMINISTICALLY
+    # (tpu_compile_helper exit 1, with and without the scoped-vmem
+    # raise — perf/experiments/r5_bisect4096.py, 2026-08-20) while the
+    # float32-boundary default compiles fine.  Gate at the size where
+    # the win is measured and the compile proven; the blocked-level
+    # Schur knob keeps AUTO_BF16X3_MIN = 4096 (in place since r4,
+    # measured at 4096).
+    AUTO_BPREC_MIN = 8192
+
     def resolved_schur_precision(self, minmn: int, dtype, tpu=None) -> str:
         """Schur-matmul precision for a factorization of min dim
         ``minmn``.  Explicit values pass through; 'auto' resolves
@@ -276,9 +290,11 @@ class LUConfig:
         """In-panel boundary-matmul precision for a factorization of
         min dim ``minmn`` (see the ``panel_boundary_precision`` field).
         Explicit values pass through; 'auto' resolves bf16x3 on the
-        same (TPU, f32, minmn >= AUTO_BF16X3_MIN) gate as the Schur
-        mode — the regime where it measured faster on chip with O(1)
-        scaled residuals.  ``tpu`` overrides detection for tests."""
+        (TPU, f32, minmn >= AUTO_BPREC_MIN) gate — the regime where it
+        measured faster on chip with O(1) scaled residuals AND where
+        the composed graph is compile-proven (n=4096 bprec panels
+        crash Mosaic; see AUTO_BPREC_MIN).  ``tpu`` overrides
+        detection for tests."""
         if self.panel_boundary_precision != "auto":
             return self.panel_boundary_precision
         import jax.numpy as jnp
@@ -288,7 +304,7 @@ class LUConfig:
         if (
             tpu
             and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
-            and minmn >= self.AUTO_BF16X3_MIN
+            and minmn >= self.AUTO_BPREC_MIN
         ):
             return "bf16x3"
         return "float32"

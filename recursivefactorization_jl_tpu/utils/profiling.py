@@ -103,7 +103,7 @@ def marginal_time(
 
 def marginal_time_stats(
     fn: Callable, x, k1: int = 3, k2: int = 13, reps: int = 4,
-    compiler_options: dict | None = None,
+    compiler_options: dict | None = None, extra_args: tuple = (),
 ) -> dict:
     """Like :func:`marginal_time` but returns per-rep spread so every
     committed artifact cell carries its own uncertainty (VERDICT r3
@@ -128,12 +128,20 @@ def marginal_time_stats(
     XLA"); ``{"xla_tpu_scoped_vmem_limit_kib": "32768"}`` was measured
     to fix the compile while lax.optimization_barrier was not
     (perf/experiments/r4_oomprobe.py).
+
+    ``extra_args`` are forwarded to ``fn(a, *extra_args)`` as REAL jit
+    arguments of the timing graph.  Large device arrays a timed fn
+    needs (precomputed factors, pivots) must ride here, never in a
+    closure: a closed-over jax.Array lowers to an HLO *constant*
+    embedded in the compile payload, and at 8192x8192 f32 (256 MB)
+    the remote-compile tunnel rejects the request outright (HTTP 413,
+    observed in the r5 solve sweep).
     """
 
     def looped(K):
-        def run(a0):
+        def run(a0, *extras):
             def body(i, a):
-                out = fn(a)
+                out = fn(a, *extras)
                 return a * (1.0 + 1e-24 * out.ravel()[0])
 
             # REAL scalar out: a complex device->host fetch hits a
@@ -144,19 +152,19 @@ def marginal_time_stats(
 
         if compiler_options is None:
             return jax.jit(run)
-        return jax.jit(run).lower(x).compile(
+        return jax.jit(run).lower(x, *extra_args).compile(
             compiler_options=compiler_options
         )
 
     run1, run2 = looped(k1), looped(k2)
-    np.asarray(run1(x))  # compile + warm
-    np.asarray(run2(x))
+    np.asarray(run1(x, *extra_args))  # compile + warm
+    np.asarray(run2(x, *extra_args))
     margs = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(run1(x))
+        np.asarray(run1(x, *extra_args))
         t1 = time.perf_counter()
-        np.asarray(run2(x))
+        np.asarray(run2(x, *extra_args))
         t2 = time.perf_counter()
         margs.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
     margs.sort()

@@ -153,21 +153,27 @@ class TestResolvedSchurPrecision:
 
 
 class TestPanelBoundaryPrecisionResolution:
-    """The in-panel boundary knob's 'auto' resolves on the same
-    (TPU, f32, minmn >= 4096) gate as the Schur mode (measured r5:
-    +3% at n=8192, scaled resid O(1); perf/results_r05_phase.json)."""
+    """The in-panel boundary knob's 'auto' resolves on a
+    (TPU, f32, minmn >= AUTO_BPREC_MIN=8192) gate — its OWN gate, not
+    the Schur knob's 4096: bprec measured its win only at n=8192
+    (+3%, perf/results_r05_phase.json) and the bprec panel graphs at
+    n=4096 deterministically crash the Mosaic compile helper
+    (perf/experiments/r5_bisect4096.py, 2026-08-20)."""
 
     def test_auto_bf16x3_band(self):
         f = CFG.resolved_panel_boundary_precision
-        assert f(4096, jnp.float32, tpu=True) == "bf16x3"
         assert f(8192, jnp.float32, tpu=True) == "bf16x3"
+        assert f(12288, jnp.float32, tpu=True) == "bf16x3"
 
     def test_auto_float32_everywhere_else(self):
         f = CFG.resolved_panel_boundary_precision
-        assert f(4095, jnp.float32, tpu=True) == "float32"
+        # 4096 is float32 BY REQUIREMENT: bf16x3 boundaries crash the
+        # 4096 compile (r5 bisect) — this pin is load-bearing
+        assert f(4096, jnp.float32, tpu=True) == "float32"
+        assert f(8191, jnp.float32, tpu=True) == "float32"
         assert f(2048, jnp.float32, tpu=True) == "float32"
-        assert f(4096, jnp.float64, tpu=True) == "float32"
-        assert f(4096, jnp.float32, tpu=False) == "float32"
+        assert f(8192, jnp.float64, tpu=True) == "float32"
+        assert f(8192, jnp.float32, tpu=False) == "float32"
 
     def test_explicit_passthrough(self):
         for p in ("float32", "bf16x3"):
